@@ -1,0 +1,222 @@
+"""Synthetic LiDAR scene generator (numpy, host-side).
+
+The reference's de-facto integration fixture is ``minimal.zip`` (README:50-58)
+— a stripped large blob not present here. This module replaces it with a
+*procedural* KITTI-format dataset: an analytic scene (ground plane + boxes +
+cylinders, each with a semantic class) is ray-cast exactly, so we can
+
+  1. write .bin/.label/poses/calib trees for integration tests, and
+  2. validate synthesized virtual scans against analytic ground truth for
+     *any* target sensor spec — a stronger oracle than the reference ever had
+     (SURVEY.md §4 implication (d)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from lidar_transfer_tpu.config import SensorSpec
+from lidar_transfer_tpu.datasets import kitti
+
+
+@dataclasses.dataclass(frozen=True)
+class Box:
+    center: tuple[float, float, float]
+    size: tuple[float, float, float]      # full extents
+    label: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Cylinder:
+    center: tuple[float, float]           # x, y; axis = +z
+    radius: float
+    z_range: tuple[float, float]
+    label: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    ground_z: float = -2.0
+    ground_label: int = 40                # road
+    boxes: tuple[Box, ...] = ()
+    cylinders: tuple[Cylinder, ...] = ()
+    max_range: float = 80.0
+
+    @classmethod
+    def default(cls) -> "Scene":
+        """A small urban-ish scene: road, two buildings, a car, two trunks."""
+        return cls(
+            ground_z=-2.0,
+            ground_label=40,
+            boxes=(
+                Box(center=(12.0, 6.0, 1.0), size=(8.0, 6.0, 6.0), label=50),
+                Box(center=(-10.0, -8.0, 0.5), size=(6.0, 10.0, 5.0),
+                    label=50),
+                Box(center=(8.0, -3.0, -1.2), size=(4.0, 1.8, 1.6), label=10),
+                Box(center=(-6.0, 4.0, -1.1), size=(3.8, 1.7, 1.5), label=10),
+            ),
+            cylinders=(
+                Cylinder(center=(5.0, 10.0), radius=0.4, z_range=(-2.0, 4.0),
+                         label=71),
+                Cylinder(center=(-4.0, -12.0), radius=0.3,
+                         z_range=(-2.0, 3.0), label=71),
+            ),
+        )
+
+
+def _ray_ground(origins, dirs, ground_z):
+    """t of intersection with plane z=ground_z; inf if none."""
+    dz = dirs[:, 2]
+    t = (ground_z - origins[:, 2]) / np.where(dz != 0, dz, 1e-30)
+    return np.where((dz != 0) & (t > 1e-4), t, np.inf)
+
+
+def _ray_box(origins, dirs, box: Box):
+    """Slab test -> entry t; inf if miss (same math as a BBox slab test)."""
+    c = np.asarray(box.center)
+    h = np.asarray(box.size) / 2.0
+    lo, hi = c - h, c + h
+    inv = 1.0 / np.where(dirs != 0, dirs, 1e-30)
+    t0 = (lo - origins) * inv
+    t1 = (hi - origins) * inv
+    tmin = np.minimum(t0, t1).max(axis=1)
+    tmax = np.maximum(t0, t1).min(axis=1)
+    hit = (tmax >= np.maximum(tmin, 1e-4))
+    return np.where(hit, np.where(tmin > 1e-4, tmin, np.inf), np.inf)
+
+
+def _ray_cylinder(origins, dirs, cyl: Cylinder):
+    """Infinite-cylinder quadratic clipped to z_range; entry t or inf."""
+    ox = origins[:, 0] - cyl.center[0]
+    oy = origins[:, 1] - cyl.center[1]
+    dx, dy = dirs[:, 0], dirs[:, 1]
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - cyl.radius ** 2
+    disc = b * b - 4 * a * c
+    ok = (disc >= 0) & (a > 1e-12)
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t = (-b - sq) / np.where(a > 1e-12, 2 * a, 1.0)
+    z = origins[:, 2] + t * dirs[:, 2]
+    ok &= (t > 1e-4) & (z >= cyl.z_range[0]) & (z <= cyl.z_range[1])
+    return np.where(ok, t, np.inf)
+
+
+def raycast_scene(scene: Scene, origins: np.ndarray, dirs: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact nearest-hit raycast. -> (t (N,), label (N,) i32); misses: t=inf,
+    label=0."""
+    best_t = _ray_ground(origins, dirs, scene.ground_z)
+    best_l = np.where(np.isfinite(best_t), scene.ground_label, 0)
+    for obj in list(scene.boxes) + list(scene.cylinders):
+        t = (_ray_box(origins, dirs, obj) if isinstance(obj, Box)
+             else _ray_cylinder(origins, dirs, obj))
+        closer = t < best_t
+        best_t = np.where(closer, t, best_t)
+        best_l = np.where(closer, obj.label, best_l)
+    too_far = best_t > scene.max_range
+    best_t = np.where(too_far, np.inf, best_t)
+    best_l = np.where(too_far, 0, best_l)
+    return best_t, best_l.astype(np.int32)
+
+
+def sensor_rays(spec: SensorSpec) -> np.ndarray:
+    """(H*W, 3) unit ray directions for a sensor spec, row-major over (H,W).
+
+    Beam pattern matches the reference's ``create_rays``
+    (laserscan.py:1092-1119): yaw = linspace(0,360,W)+180 (wrapped), pitch =
+    linspace(fov_up, fov_down, H); direction from (pi/2 - pitch) colatitude.
+    """
+    initial = 180.0
+    yaw = np.linspace(0.0, 360.0, spec.W) + initial
+    yaw[yaw > 360.0] -= 360.0
+    yaw = np.deg2rad(yaw)
+    pitch = np.deg2rad(np.linspace(spec.fov_up, spec.fov_down, spec.beams))
+    colat = np.pi / 2.0 - pitch
+    dirs = np.empty((spec.beams, spec.W, 3), dtype=np.float64)
+    dirs[:, :, 0] = np.sin(colat)[:, None] * np.cos(-yaw)[None, :]
+    dirs[:, :, 1] = np.sin(colat)[:, None] * np.sin(-yaw)[None, :]
+    dirs[:, :, 2] = np.cos(colat)[:, None] * np.ones_like(yaw)[None, :]
+    return dirs.reshape(-1, 3)
+
+
+def remission_for(labels: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic remission in [0,1): label-keyed + z ripple."""
+    base = (labels % 97).astype(np.float32) / 97.0
+    ripple = 0.1 * np.sin(points[:, 2].astype(np.float32))
+    return np.clip(base + ripple, 0.0, 0.999).astype(np.float32)
+
+
+def simulate_scan(scene: Scene, spec: SensorSpec, pose: np.ndarray,
+                  drop_misses: bool = True
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Simulate one scan at a world pose. -> (points(sensor frame) (N,3) f32,
+    remissions (N,), labels (N,) i32)."""
+    dirs_s = sensor_rays(spec)
+    rot = pose[:3, :3]
+    trans = pose[:3, 3]
+    dirs_w = dirs_s @ rot.T
+    origins = np.broadcast_to(trans, dirs_w.shape)
+    t, labels = raycast_scene(scene, origins, dirs_w)
+    hit = np.isfinite(t)
+    if drop_misses:
+        t, labels, dirs_s = t[hit], labels[hit], dirs_s[hit]
+    else:
+        t = np.where(hit, t, 0.0)
+        labels = np.where(hit, labels, 0)
+    points = (dirs_s * t[:, None]).astype(np.float32)
+    rem = remission_for(labels, points)
+    return points, rem, labels
+
+
+def straight_line_poses(n: int, step: float = 1.5) -> np.ndarray:
+    """(n,4,4) poses driving along +x with a gentle yaw wobble."""
+    poses = np.zeros((n, 4, 4), dtype=np.float64)
+    for i in range(n):
+        ang = 0.02 * np.sin(i * 0.7)
+        ca, sa = np.cos(ang), np.sin(ang)
+        poses[i] = np.array([
+            [ca, -sa, 0.0, step * i],
+            [sa, ca, 0.0, 0.1 * np.sin(i * 0.5)],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ])
+    return poses
+
+
+def write_kitti_dataset(root: str, scene: Scene, spec: SensorSpec,
+                        n_scans: int = 5, sequence: str = "00",
+                        step: float = 1.5) -> str:
+    """Write a synthetic KITTI-format dataset tree (the minimal.zip stand-in).
+
+    Layout: <root>/config.yaml + <root>/sequences/<seq>/{velodyne,labels,
+    poses.txt, calib.txt}. Poses are written through an identity Tr calib so
+    parse_poses round-trips them.
+    """
+    seq_dir = os.path.join(root, "sequences", sequence)
+    os.makedirs(os.path.join(seq_dir, "velodyne"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "labels"), exist_ok=True)
+
+    import yaml
+    with open(os.path.join(root, "config.yaml"), "w") as f:
+        yaml.safe_dump(spec.to_dict(), f)
+
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        ident = "1.0 0.0 0.0 0.0 0.0 1.0 0.0 0.0 0.0 0.0 1.0 0.0"
+        for key in ["P0", "P1", "P2", "P3", "Tr"]:
+            f.write(f"{key}: {ident}\n")
+
+    poses = straight_line_poses(n_scans, step)
+    calib = kitti.parse_calibration(os.path.join(seq_dir, "calib.txt"))
+    kitti.write_poses(os.path.join(seq_dir, "poses.txt"), poses, calib)
+
+    for i in range(n_scans):
+        points, rem, labels = simulate_scan(scene, spec, poses[i])
+        kitti.write_scan_file(
+            os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"), points, rem)
+        kitti.write_label_file(
+            os.path.join(seq_dir, "labels", f"{i:06d}.label"), labels)
+    return root

@@ -1,0 +1,105 @@
+"""Confusion-matrix IoU/accuracy metrics on device (JAX).
+
+TPU-native rebuild of the reference ``iouEval``
+(auxiliary/np_ioueval.py:8-70): the ``np.add.at`` scatter becomes a jitted
+scatter-add; matrices from sharded batches reduce with ``psum`` when used
+inside ``shard_map``. Semantics (ignore-class row+col masking, the 1e-15
+union epsilon, mean over included classes) match exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes",))
+def confusion_matrix(pred: jax.Array, target: jax.Array,
+                     n_classes: int) -> jax.Array:
+    """(n_classes, n_classes) int32 matrix; rows=pred, cols=target.
+
+    ≡ reference addBatch (np_ioueval.py:27-43): conf[pred, gt] += 1.
+    """
+    p = pred.reshape(-1).astype(jnp.int32)
+    t = target.reshape(-1).astype(jnp.int32)
+    cm = jnp.zeros((n_classes, n_classes), dtype=jnp.int32)
+    return cm.at[p, t].add(1, mode="drop")
+
+
+def _masked_stats(conf: jax.Array, ignore_mask: jax.Array):
+    """tp/fp/fn with ignore rows+cols zeroed (np_ioueval.py:45-54)."""
+    keep = ~ignore_mask
+    conf = conf * keep[:, None] * keep[None, :]
+    tp = jnp.diagonal(conf)
+    fp = conf.sum(axis=1) - tp
+    fn = conf.sum(axis=0) - tp
+    return tp, fp, fn
+
+
+@jax.jit
+def iou_from_confusion(conf: jax.Array, ignore_mask: jax.Array
+                       ) -> tuple[jax.Array, jax.Array]:
+    """-> (mean IoU over included classes, per-class IoU for ALL classes).
+
+    ≡ reference getIoU (np_ioueval.py:56-63) incl. the 1e-15 epsilon.
+    """
+    tp, fp, fn = _masked_stats(conf, ignore_mask)
+    union = (tp + fp + fn).astype(jnp.float64) + 1e-15
+    iou = tp.astype(jnp.float64) / union
+    include = ~ignore_mask
+    n_inc = jnp.maximum(include.sum(), 1)
+    mean_iou = jnp.where(include, iou, 0.0).sum() / n_inc
+    return mean_iou, iou
+
+
+@jax.jit
+def acc_from_confusion(conf: jax.Array, ignore_mask: jax.Array) -> jax.Array:
+    """≡ reference getacc (np_ioueval.py:65-70)."""
+    tp, fp, fn = _masked_stats(conf, ignore_mask)
+    include = ~ignore_mask
+    total_tp = tp.sum().astype(jnp.float64)
+    total = (jnp.where(include, tp, 0).sum()
+             + jnp.where(include, fp, 0).sum()).astype(jnp.float64) + 1e-15
+    return total_tp / total
+
+
+class IoUEval:
+    """Stateful accumulator with the reference's iouEval API surface.
+
+    Thin host-side wrapper over the jitted kernels; the confusion matrix
+    lives on device and is psum-reducible across chips.
+    """
+
+    def __init__(self, n_classes: int, ignore=None):
+        self.n_classes = n_classes
+        ignore = np.asarray([] if ignore is None else ignore, dtype=np.int64)
+        mask = np.zeros((n_classes,), dtype=bool)
+        if ignore.size:
+            mask[ignore] = True
+        self.ignore_mask = jnp.asarray(mask)
+        self.reset()
+
+    def reset(self) -> None:
+        self.conf = jnp.zeros((self.n_classes, self.n_classes),
+                              dtype=jnp.int32)
+
+    def add_batch(self, pred, target) -> None:
+        self.conf = self.conf + confusion_matrix(
+            jnp.asarray(pred), jnp.asarray(target), self.n_classes)
+
+    # reference-compatible alias (np_ioueval.py:27)
+    addBatch = add_batch
+
+    def get_iou(self) -> tuple[float, np.ndarray]:
+        mean_iou, iou = iou_from_confusion(self.conf, self.ignore_mask)
+        return float(mean_iou), np.asarray(iou)
+
+    getIoU = get_iou
+
+    def get_acc(self) -> float:
+        return float(acc_from_confusion(self.conf, self.ignore_mask))
+
+    getacc = get_acc

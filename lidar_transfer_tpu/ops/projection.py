@@ -1,0 +1,276 @@
+"""Spherical range-image projection ops (JAX, jit-compiled, static shapes).
+
+This is the TPU-native replacement for the reference's LaserScan projection
+methods (auxiliary/laserscan.py):
+
+  - ``range_project``  ≡ ``do_range_projection_new(method="depth")``
+    (laserscan.py:294-391). The reference's per-point Python z-buffer loop
+    (:372-382, the dominant CPU hot loop per SURVEY.md §3) is replaced by two
+    ``segment_min`` scatters: (1) min depth per pixel, (2) min original index
+    among depth-winners — which reproduces the loop's nearest-point,
+    first-come-tie-break semantics exactly.
+  - ``reverse_project`` ≡ ``do_reverse_projection_new`` (laserscan.py:475-501)
+    including the ``preserve_float`` option.
+  - beam-angle snapping ≡ the per-point nearest-beam loop
+    (laserscan.py:233-238/322-327), vectorized as an argmin over a (N,B)
+    broadcast.
+
+All point arrays are fixed-capacity padded; a boolean ``valid`` mask marks
+real points. Zero-depth padding matches the reference's removal of
+zero-depth points (laserscan.py:307-310).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class RangeImage(NamedTuple):
+    """Result of projecting a point set into a spherical range image.
+
+    Image-plane fields (H,W):
+      range:      f32 range per pixel; 0 where no data
+                  (reference inits ``range_image`` to 0, laserscan.py:366)
+      index:      i32 index into the (padded) point arrays; -1 where no data
+      remission:  f32; -1 where no data (reference init, laserscan.py:369)
+      label:      i32 semantic label; 0 where no data
+      u_float:    f32 unclamped pixel x of the winning point, in [0, W]
+      v_float:    f32 unclamped pixel y of the winning point, in [0, H]
+                  (reference ``proj_x_float``/``proj_y_float``,
+                   laserscan.py:387-388)
+
+    Per-point fields (N,):
+      point_valid: bool — point survived depth>0 and vertical-FOV filters
+                   (``remove=True`` semantics, laserscan.py:334-342)
+      point_u:     i32 clamped pixel x per point
+      point_v:     i32 clamped pixel y per point
+      point_depth: f32 per-point range (``unproj_range``)
+    """
+
+    range: jax.Array
+    index: jax.Array
+    remission: jax.Array
+    label: jax.Array
+    u_float: jax.Array
+    v_float: jax.Array
+    point_valid: jax.Array
+    point_u: jax.Array
+    point_v: jax.Array
+    point_depth: jax.Array
+
+    @property
+    def mask(self) -> jax.Array:
+        """(H,W) bool: pixel has data."""
+        return self.index >= 0
+
+    @property
+    def H(self) -> int:
+        return self.range.shape[0]
+
+    @property
+    def W(self) -> int:
+        return self.range.shape[1]
+
+    @property
+    def u_int(self) -> jax.Array:
+        """(H,W) i32 clamped integer pixel x of winning points.
+
+        Equals the reference's ``proj_x`` image (= proj_x_cl[index],
+        laserscan.py:385); 0 where no data.
+        """
+        w = self.range.shape[1]
+        u = jnp.clip(jnp.floor(self.u_float), 0, w - 1).astype(jnp.int32)
+        return jnp.where(self.mask, u, 0)
+
+    @property
+    def v_int(self) -> jax.Array:
+        h = self.range.shape[0]
+        v = jnp.clip(jnp.floor(self.v_float), 0, h - 1).astype(jnp.int32)
+        return jnp.where(self.mask, v, 0)
+
+
+def spherical_angles(points: jax.Array) -> tuple[jax.Array, jax.Array,
+                                                 jax.Array]:
+    """(N,3) points -> (depth, yaw, pitch).
+
+    Angle conventions exactly as the reference (laserscan.py:229-230):
+    yaw = -atan2(y, x), pitch = asin(z / depth).
+    """
+    depth = jnp.linalg.norm(points, axis=-1)
+    yaw = -jnp.arctan2(points[..., 1], points[..., 0])
+    safe_depth = jnp.where(depth > 0, depth, 1.0)
+    pitch = jnp.arcsin(jnp.clip(points[..., 2] / safe_depth, -1.0, 1.0))
+    return depth, yaw, pitch
+
+
+def snap_to_beams(pitch: jax.Array, beam_angles: jax.Array) -> jax.Array:
+    """Snap pitch angles to the nearest hardware beam angle.
+
+    Vectorized equivalent of the reference's per-point loop
+    (laserscan.py:322-327): argmin over |pitch - beam_angles|.
+    beam_angles: (B,) radians.
+    """
+    diff = jnp.abs(pitch[..., None] - beam_angles)          # (N, B)
+    return beam_angles[jnp.argmin(diff, axis=-1)]
+
+
+def project_uv(points: jax.Array, fov_up_deg: jax.Array,
+               fov_down_deg: jax.Array,
+               beam_angles: jax.Array | None = None
+               ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(N,3) points -> (u, v, depth) in normalized [0,1] image coords.
+
+    u = 0.5*(yaw/pi + 1), v = 1 - (pitch + |fov_down|)/fov
+    (reference laserscan.py:330-331).
+    """
+    fov_up = jnp.deg2rad(fov_up_deg)
+    fov_down = jnp.deg2rad(fov_down_deg)
+    fov = jnp.abs(fov_down) + jnp.abs(fov_up)
+    depth, yaw, pitch = spherical_angles(points)
+    if beam_angles is not None:
+        pitch = snap_to_beams(pitch, beam_angles)
+    u = 0.5 * (yaw / jnp.pi + 1.0)
+    v = 1.0 - (pitch + jnp.abs(fov_down)) / fov
+    return u, v, depth
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _range_project_impl(points, remissions, labels, valid,
+                        fov_up_deg, fov_down_deg, beam_angles, H, W):
+    n = points.shape[0]
+    u, v, depth = project_uv(points, fov_up_deg, fov_down_deg, beam_angles)
+
+    # remove zero-depth (padding + degenerate) points — laserscan.py:307-310
+    valid = valid & (depth > 0.0)
+    # remove=True: drop points outside vertical FOV — laserscan.py:334-342
+    valid = valid & (v >= 0.0) & (v <= 1.0)
+
+    uf = u * W                                             # in [0, W]
+    vf = v * H                                             # in [0, H]
+    # floor + clamp exactly as laserscan.py:352-357
+    px = jnp.clip(jnp.floor(uf), 0, W - 1).astype(jnp.int32)
+    py = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
+
+    npix = H * W
+    # invalid points scatter into an overflow segment
+    pix = jnp.where(valid, py * W + px, npix)
+
+    # pass 1: nearest depth per pixel
+    depth_key = jnp.where(valid, depth, jnp.inf)
+    min_depth = jax.ops.segment_min(depth_key, pix, num_segments=npix + 1)
+
+    # pass 2: among exact depth-winners, the lowest original index wins —
+    # reproduces the reference loop's strict '<' first-come tie-break
+    # (laserscan.py:376-377).
+    is_winner = valid & (depth_key == min_depth[pix])
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    idx_key = jnp.where(is_winner, idx, _INT32_MAX)
+    win_idx = jax.ops.segment_min(idx_key, pix, num_segments=npix + 1)[:npix]
+
+    has = win_idx != _INT32_MAX
+    index = jnp.where(has, win_idx, -1).reshape(H, W)
+    gidx = jnp.where(has, win_idx, 0)
+
+    rng = jnp.where(has, depth[gidx], 0.0).reshape(H, W).astype(jnp.float32)
+    rem = jnp.where(has, remissions[gidx], -1.0).reshape(H, W)
+    lbl = jnp.where(has, labels[gidx], 0).reshape(H, W).astype(jnp.int32)
+    ufi = jnp.where(has, uf[gidx], 0.0).reshape(H, W).astype(jnp.float32)
+    vfi = jnp.where(has, vf[gidx], 0.0).reshape(H, W).astype(jnp.float32)
+
+    return RangeImage(
+        range=rng, index=index, remission=rem.astype(jnp.float32), label=lbl,
+        u_float=ufi, v_float=vfi,
+        point_valid=valid, point_u=px, point_v=py,
+        point_depth=depth.astype(jnp.float32))
+
+
+def range_project(points: jax.Array, remissions: jax.Array,
+                  labels: jax.Array, valid: jax.Array, *,
+                  H: int, W: int, fov_up_deg, fov_down_deg,
+                  beam_angles=None) -> RangeImage:
+    """Project a padded point set into an (H,W) spherical range image.
+
+    Nearest-point-per-pixel z-buffer semantics identical to the reference's
+    ``do_range_projection_new(..., method="depth", remove=True)``
+    (laserscan.py:294-391). See module docstring.
+
+    Args:
+      points:     (N,3) f32 (padded; padding at origin)
+      remissions: (N,)  f32
+      labels:     (N,)  i32
+      valid:      (N,)  bool
+      H, W:       static target image dims
+      fov_up_deg / fov_down_deg: scalar sensor FOV in degrees
+      beam_angles: optional (B,) array of beam pitch angles in radians
+    """
+    fov_up_deg = jnp.asarray(fov_up_deg, jnp.float32)
+    fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
+    if beam_angles is not None:
+        beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    return _range_project_impl(points, remissions, labels, valid,
+                               fov_up_deg, fov_down_deg, beam_angles,
+                               H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("preserve_float",))
+def _reverse_project_impl(rng_image, u_float, v_float, mask,
+                          fov_up_deg, fov_down_deg, preserve_float):
+    H, W = rng_image.shape
+    fov_up = jnp.deg2rad(fov_up_deg)
+    fov_down = jnp.deg2rad(fov_down_deg)
+    fov = jnp.abs(fov_down) + jnp.abs(fov_up)
+
+    if preserve_float:
+        u = u_float / W
+        v = v_float / H
+    else:
+        u = jnp.clip(jnp.floor(u_float), 0, W - 1) / W
+        v = jnp.clip(jnp.floor(v_float), 0, H - 1) / H
+        u = jnp.where(mask, u, 0.0)
+        v = jnp.where(mask, v, 0.0)
+
+    depth = rng_image
+    # inverse spherical mapping — laserscan.py:492-497
+    yaw = (u * 2.0 - 1.0) * jnp.pi
+    pitch = jnp.pi / 2.0 - (fov - v * fov - jnp.abs(fov_down))
+    x = depth * jnp.sin(pitch) * jnp.cos(-yaw)
+    y = depth * jnp.sin(pitch) * jnp.sin(-yaw)
+    z = depth * jnp.cos(pitch)
+    return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+
+def reverse_project(image: RangeImage, *, fov_up_deg, fov_down_deg,
+                    preserve_float: bool = False) -> jax.Array:
+    """Back-project a range image to 3D points (H*W, 3).
+
+    ≡ reference ``do_reverse_projection_new`` (laserscan.py:475-501).
+    Pixels without data have range 0 and map to the origin; the dataset
+    writer drops them (≡ laserscan.py:1151).
+    """
+    fov_up_deg = jnp.asarray(fov_up_deg, jnp.float32)
+    fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
+    return _reverse_project_impl(image.range, image.u_float, image.v_float,
+                                 image.mask, fov_up_deg, fov_down_deg,
+                                 preserve_float)
+
+
+def mask_classes(labels: jax.Array, valid: jax.Array,
+                 classes: tuple[int, ...]) -> jax.Array:
+    """Invalidate points whose label is in ``classes``.
+
+    Mask-based equivalent of the reference's physical removal
+    (``remove_classes``, laserscan.py:658-670): masked points can never win
+    a pixel, which matches removal semantics exactly.
+    """
+    if not classes:
+        return valid
+    drop = jnp.zeros_like(valid)
+    for c in classes:
+        drop = drop | (labels == c)
+    return valid & ~drop

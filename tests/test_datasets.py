@@ -1,0 +1,94 @@
+"""Dataset IO + synthetic fixture tests."""
+
+import os
+
+import numpy as np
+
+from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+from lidar_transfer_tpu.datasets import (KittiSequence, kitti, synthetic)
+
+
+def test_scan_label_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    rem = np.random.default_rng(1).random(100).astype(np.float32)
+    lbl = np.arange(100, dtype=np.int32) % 260
+    sp = str(tmp_path / "000000.bin")
+    lp = str(tmp_path / "000000.label")
+    kitti.write_scan_file(sp, pts, rem)
+    kitti.write_label_file(lp, lbl)
+    pts2, rem2 = kitti.read_scan_file(sp)
+    lbl2 = kitti.read_label_file(lp, 100)
+    np.testing.assert_array_equal(pts, pts2)
+    np.testing.assert_array_equal(rem, rem2)
+    np.testing.assert_array_equal(lbl, lbl2)
+
+
+def test_label_upper_half_word_stripped(tmp_path):
+    """Instance ids in the upper 16 bits must be dropped (laserscan.py:588)."""
+    lp = str(tmp_path / "x.label")
+    raw = np.array([10 | (7 << 16), 40, 252 | (1 << 16)], np.uint32)
+    raw.tofile(lp)
+    lbl = kitti.read_label_file(lp)
+    np.testing.assert_array_equal(lbl, [10, 40, 252])
+
+
+def test_poses_roundtrip(tmp_path):
+    calib_path = str(tmp_path / "calib.txt")
+    with open(calib_path, "w") as f:
+        # a non-trivial Tr to exercise the Tr^-1 P Tr conjugation
+        f.write("P0: 1 0 0 0 0 1 0 0 0 0 1 0\n")
+        f.write("Tr: 0 -1 0 0.5 1 0 0 -0.2 0 0 1 0.1\n")
+    calib = kitti.parse_calibration(calib_path)
+    poses = synthetic.straight_line_poses(4)
+    pp = str(tmp_path / "poses.txt")
+    kitti.write_poses(pp, poses, calib)
+    poses2 = kitti.parse_poses(pp, calib)
+    np.testing.assert_allclose(poses2, poses, atol=1e-5)
+
+
+def test_synthetic_dataset_tree(synthetic_dataset, small_spec):
+    seq = KittiSequence.open(synthetic_dataset, "00")
+    assert len(seq) == 5
+    pts, rem, lbl = seq.read(0)
+    assert pts.shape[0] == rem.shape[0] == lbl.shape[0]
+    assert pts.shape[0] > 1000
+    assert set(np.unique(lbl)) <= {0, 10, 40, 50, 71}
+    spec = SensorSpec.from_yaml(os.path.join(synthetic_dataset, "config.yaml"))
+    assert spec.beams == small_spec.beams
+    assert spec.W == small_spec.W
+
+
+def test_transfer_config_yaml_roundtrip(tmp_path):
+    cfg = TransferConfig(adaption="cp", number_of_scans=3, voxel_size=0.1)
+    path = str(tmp_path / "cfg.yaml")
+    cfg.to_yaml(path)
+    cfg2 = TransferConfig.from_yaml(path)
+    assert cfg2.adaption == "cp"
+    assert cfg2.number_of_scans == 3
+    assert cfg2.voxel_size == 0.1
+    assert cfg2.nclasses == 34
+    np.testing.assert_allclose(cfg2.voxel_bounds_array,
+                               cfg.voxel_bounds_array)
+
+
+def test_reference_yaml_schema_compat():
+    """Our loader accepts the reference's tool-config schema verbatim."""
+    ref = "/root/reference/config/lidar_transfer.yaml"
+    if not os.path.exists(ref):
+        return
+    cfg = TransferConfig.from_yaml(ref)
+    assert cfg.adaption == "mergemesh"
+    assert cfg.number_of_scans == 1
+    assert cfg.voxel_size == 0.05
+    assert cfg.ignore_classes == (0, 1)
+    assert cfg.moving_classes == tuple(range(252, 260))
+    assert cfg.nclasses == 34
+
+
+def test_pad_points_capacity():
+    pts = np.ones((10, 3), np.float32)
+    p, r, l, m = kitti.pad_points(pts, np.ones(10, np.float32),
+                                  np.ones(10, np.int32), 16)
+    assert p.shape == (16, 3)
+    assert m.sum() == 10
+    assert (p[10:] == 0).all()
