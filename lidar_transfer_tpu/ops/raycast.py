@@ -1,0 +1,241 @@
+"""Virtual-scan synthesis: ray generation + direct TSDF raymarching (JAX).
+
+This is the idiomatic TPU replacement (SURVEY.md §7 engine 6a) for the
+reference's mesh pipeline (marching cubes -> C++ BVH raytracer,
+auxiliary/fusion_lidar.py:403-455 + auxiliary/raytracer/*). Instead of
+extracting a triangle mesh and pointer-chasing a BVH (TPU-hostile, SURVEY.md
+§2.2 N2), rays march *directly through the TSDF volume*:
+
+  - a coarse occupancy grid (maxpooled "touched voxel" mask, dilated by one
+    block) lets rays take block-sized steps through free space — the
+    TPU-native analog of BVH empty-space skipping, fully vectorized;
+  - inside occupied blocks rays take fine (sub-voxel) steps and detect the
+    +/- zero crossing of the TSDF, refining the hit with linear
+    interpolation — the same surface the reference's marching_cubes(level=0)
+    + exact triangle intersection would find;
+  - hit attributes (label, remission) come from the first interior (negative)
+    voxel — the analog of the reference's vertex-0 color / vertex-mean
+    remission lookup (RayTracer.cpp:73-90, Triangle.h:63-70).
+
+All rays advance in lockstep inside one ``lax.while_loop`` (exits when every
+ray is done); gathers from the HBM-resident volume are the only memory
+traffic. A mesh-based parity engine lives in ``ops/triangles.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
+
+
+def generate_rays(H: int, W: int, fov_up_deg: float, fov_down_deg: float,
+                  beam_angles=None) -> np.ndarray:
+    """(H*W, 3) f32 unit ray directions for a target sensor, row-major (H,W).
+
+    Beam pattern ≡ reference ``create_rays`` (laserscan.py:1092-1119):
+    yaw = linspace(0, 360, W) + 180 (wrapped to [0,360]), pitch =
+    linspace(fov_up, fov_down, H) converted to colatitude. If
+    ``beam_angles`` (radians) is given, it overrides the equidistant pitch
+    rows (the reference TODOs this at laserscan.py:1094).
+    """
+    initial = 180.0
+    yaw = np.linspace(0.0, 360.0, W) + initial
+    yaw[yaw > 360.0] -= 360.0
+    yaw = np.deg2rad(yaw)
+    if beam_angles is not None:
+        pitch = np.sort(np.asarray(beam_angles, np.float64))[::-1]
+        if pitch.shape[0] != H:
+            raise ValueError(f"{pitch.shape[0]} beam angles != H={H}")
+    else:
+        pitch = np.deg2rad(np.linspace(fov_up_deg, fov_down_deg, H))
+    colat = np.pi / 2.0 - pitch
+    dirs = np.empty((H, W, 3), dtype=np.float64)
+    dirs[:, :, 0] = np.sin(colat)[:, None] * np.cos(-yaw)[None, :]
+    dirs[:, :, 1] = np.sin(colat)[:, None] * np.sin(-yaw)[None, :]
+    dirs[:, :, 2] = np.cos(colat)[:, None]
+    return dirs.reshape(-1, 3).astype(np.float32)
+
+
+class RaycastResult(NamedTuple):
+    """Per-ray hit data, reshaped to the target image grid (H,W)."""
+
+    range: jax.Array       # f32 distance along unit ray; 0 = miss
+    label: jax.Array       # i32 semantic label of hit; 0 = miss
+    remission: jax.Array   # f32 remission at hit; 0 = miss
+    endpoints: jax.Array   # (H,W,3) f32 hit points; 0 = miss
+    hit: jax.Array         # bool
+
+
+def occupancy_grid(tsdf: jax.Array, block: int = 4) -> jax.Array:
+    """Coarse bool grid: block contains any touched voxel, dilated by 1 block.
+
+    A voxel is "touched" iff tsdf != 1 (the class-aware integrate only ever
+    writes near-surface voxels; free/unseen space stays at the init value 1,
+    see ops/tsdf.py). Dilation guarantees rays switch to fine stepping at
+    least one block before any surface band.
+    """
+    X, Y, Z = tsdf.shape
+    # pad up to block multiples
+    px, py, pz = (-X) % block, (-Y) % block, (-Z) % block
+    touched = (tsdf < 0.9999).astype(jnp.float32)
+    touched = jnp.pad(touched, ((0, px), (0, py), (0, pz)))
+    cx, cy, cz = touched.shape
+    coarse = touched.reshape(cx // block, block, cy // block, block,
+                             cz // block, block).max(axis=(1, 3, 5))
+    # dilate with a 3^3 max (one coarse cell in every direction)
+    coarse = jnp.pad(coarse, 1)
+    dil = coarse
+    for axis in range(3):
+        a = jnp.roll(coarse, 1, axis)
+        b = jnp.roll(coarse, -1, axis)
+        dil = jnp.maximum(dil, jnp.maximum(a, b))
+        coarse = dil
+    return (dil[1:-1, 1:-1, 1:-1] > 0)
+
+
+def _box_exit_t(origin, dirs, lo, hi):
+    """Per-ray slab test: (t_entry, t_exit) of the volume AABB."""
+    inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-12, dirs,
+                          jnp.where(dirs >= 0, 1e-12, -1e-12))
+    t0 = (lo - origin) * inv
+    t1 = (hi - origin) * inv
+    t_near = jnp.minimum(t0, t1).max(axis=-1)
+    t_far = jnp.maximum(t0, t1).min(axis=-1)
+    return t_near, t_far
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "block", "fine_step",
+                     "max_steps"))
+def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
+                  dims, voxel_size, block, fine_step, max_steps):
+    X, Y, Z = dims
+    R = rays.shape[0]
+    vox = jnp.float32(voxel_size)
+    lo = vorigin
+    hi = vorigin + jnp.asarray(dims, jnp.float32) * vox
+
+    tsdf_f = tsdf.astype(jnp.float32).reshape(-1)
+    label_f = label.reshape(-1)
+    rem_f = rem.reshape(-1)
+    occ_f = occ.reshape(-1)
+    ox, oy, oz = occ.shape
+
+    t_near, t_far = _box_exit_t(origin[None, :], rays, lo[None, :],
+                                hi[None, :])
+    t_far = jnp.minimum(t_far, jnp.float32(1e4))
+
+    dt_fine = vox * jnp.float32(fine_step)
+    dt_coarse = vox * jnp.float32(block)
+
+    def sample(t):
+        """Gather (tsdf?, occupied, inside) at positions origin + rays*t."""
+        pos = origin[None, :] + rays * t[:, None]
+        g = (pos - vorigin[None, :]) / vox
+        gi = jnp.floor(g).astype(jnp.int32)
+        inside = ((gi[:, 0] >= 0) & (gi[:, 0] < X) &
+                  (gi[:, 1] >= 0) & (gi[:, 1] < Y) &
+                  (gi[:, 2] >= 0) & (gi[:, 2] < Z))
+        gic = jnp.clip(gi, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+        flat = (gic[:, 0] * Y + gic[:, 1]) * Z + gic[:, 2]
+        ci = gic // block
+        cflat = (ci[:, 0] * oy + ci[:, 1]) * oz + ci[:, 2]
+        occ_here = jnp.where(inside, occ_f[cflat], False)
+        val = jnp.where(inside & occ_here, tsdf_f[flat], 1.0)
+        return val, occ_here, inside, flat
+
+    t0 = jnp.maximum(t_near, 0.0) + 1e-4
+    state0 = dict(
+        t=t0,
+        prev_t=t0,
+        prev_val=jnp.ones((R,), jnp.float32),
+        done=t0 > t_far,
+        hit=jnp.zeros((R,), bool),
+        hit_t=jnp.zeros((R,), jnp.float32),
+        hit_flat=jnp.zeros((R,), jnp.int32),
+        step=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["step"] < max_steps) & ~jnp.all(s["done"])
+
+    def body(s):
+        val, occ_here, inside, flat = sample(s["t"])
+        # zero crossing between previous (positive) and current (negative)
+        crossing = (s["prev_val"] > 0.0) & (val < 0.0) & ~s["done"]
+        denom = s["prev_val"] - val
+        frac = jnp.where(denom > 1e-12, s["prev_val"] / denom, 0.5)
+        t_hit = s["prev_t"] + (s["t"] - s["prev_t"]) * frac
+
+        hit = s["hit"] | crossing
+        hit_t = jnp.where(crossing, t_hit, s["hit_t"])
+        hit_flat = jnp.where(crossing, flat, s["hit_flat"])
+
+        done = s["done"] | crossing | (s["t"] > t_far)
+        dt = jnp.where(occ_here, dt_fine, dt_coarse)
+        return dict(
+            t=jnp.where(done, s["t"], s["t"] + dt),
+            prev_t=s["t"],
+            prev_val=val,
+            done=done,
+            hit=hit,
+            hit_t=hit_t,
+            hit_flat=hit_flat,
+            step=s["step"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state0)
+
+    hit = s["hit"]
+    rng_out = jnp.where(hit, s["hit_t"], 0.0)
+    lbl_out = jnp.where(hit, label_f[s["hit_flat"]], 0)
+    rem_out = jnp.where(hit, rem_f[s["hit_flat"]], 0.0)
+    ends = jnp.where(hit[:, None], origin[None, :] + rays * rng_out[:, None],
+                     0.0)
+    return rng_out, lbl_out, rem_out, ends, hit
+
+
+def raycast_tsdf(state: TSDFState, spec: VolumeSpec, rays: jax.Array,
+                 origin: jax.Array, H: int, W: int, *,
+                 occ: jax.Array | None = None, block: int = 4,
+                 fine_step: float = 0.5, max_steps: int = 4096,
+                 vol_origin=None) -> RaycastResult:
+    """March target-sensor rays through the fused TSDF volume.
+
+    Replaces ``TSDFVolume.throw_rays_at_mesh`` (fusion_lidar.py:426-455):
+    same inputs (rays, origin, target dims), same outputs (endpoints, labels,
+    range image, remission image) — without the mesh.
+
+    Args:
+      rays:   (H*W, 3) f32 unit directions (see ``generate_rays``)
+      origin: (3,) f32 sensor origin (the reference uses [0,0,0],
+              laserscan.py:986)
+      occ:    optional precomputed occupancy (reused across frames when the
+              volume is reused)
+      block:  coarse block edge in voxels (empty-space skip distance)
+      fine_step: fine step in voxels (0.5 = half-voxel sampling)
+    """
+    if occ is None:
+        occ = occupancy_grid(state.tsdf, block=block)
+    origin = jnp.asarray(origin, jnp.float32)
+    if vol_origin is None:
+        vol_origin = jnp.asarray(spec.origin, jnp.float32)
+    rng_out, lbl, rem, ends, hit = _raycast_impl(
+        state.tsdf, state.label, state.rem, occ, rays, origin,
+        jnp.asarray(vol_origin, jnp.float32),
+        dims=spec.dims, voxel_size=spec.voxel_size,
+        block=block, fine_step=fine_step, max_steps=max_steps)
+    return RaycastResult(
+        range=rng_out.reshape(H, W),
+        label=lbl.reshape(H, W),
+        remission=rem.reshape(H, W),
+        endpoints=ends.reshape(H, W, 3),
+        hit=hit.reshape(H, W),
+    )

@@ -19,7 +19,12 @@ def transform_points(points: jax.Array, transform: jax.Array) -> jax.Array:
     """
     rot = transform[..., :3, :3]
     trans = transform[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", rot, points) + trans[..., None, :]
+    # precision="highest": pose math must stay true f32 — the default matmul
+    # precision drops to bf16-class on TPU (and its emulation elsewhere),
+    # which is a ~0.3% error on rotations, far above LiDAR noise.
+    return (jnp.einsum("...ij,...nj->...ni", rot, points,
+                       precision="highest")
+            + trans[..., None, :])
 
 
 def inverse_pose(pose: jax.Array) -> jax.Array:
@@ -27,7 +32,8 @@ def inverse_pose(pose: jax.Array) -> jax.Array:
     rot = pose[..., :3, :3]
     trans = pose[..., :3, 3]
     inv_rot = jnp.swapaxes(rot, -1, -2)
-    inv_trans = -jnp.einsum("...ij,...j->...i", inv_rot, trans)
+    inv_trans = -jnp.einsum("...ij,...j->...i", inv_rot, trans,
+                            precision="highest")
     inv = jnp.zeros_like(pose)
     inv = inv.at[..., :3, :3].set(inv_rot)
     inv = inv.at[..., :3, 3].set(inv_trans)
@@ -37,4 +43,4 @@ def inverse_pose(pose: jax.Array) -> jax.Array:
 
 def compose(a: jax.Array, b: jax.Array) -> jax.Array:
     """Matrix product a @ b with broadcasting over leading dims."""
-    return jnp.einsum("...ij,...jk->...ik", a, b)
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision="highest")

@@ -127,15 +127,20 @@ def clip_bounds_to_cloud(config_bounds: np.ndarray, points: np.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "voxel_size", "origin"),
+    static_argnames=("dims", "voxel_size"),
     donate_argnums=(0,))
 def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
                     fov_up_deg, fov_down_deg, obs_weight,
-                    dims, voxel_size, origin):
+                    origin, active_dims, dims, voxel_size):
+    # origin and active_dims are *dynamic* operands: per-frame volume
+    # placement/cropping must not trigger recompiles (dims are bucketed
+    # static shapes; voxels beyond active_dims are masked off so a bucketed
+    # volume behaves exactly like the reference's exact-size volume).
     X, Y, Z = dims
     H, W = depth_im.shape
 
-    # voxel-center world coords; iota must be >=2D on TPU
+    # voxel corner world coords (reference samples corners too,
+    # fusion_lidar.py:100-104); iota must be >=2D on TPU
     gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
     gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
     gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
@@ -170,8 +175,11 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
     dist = jnp.minimum(1.0, depth_diff / trunc)
 
     # a voxel participates iff: in FOV, pixel has data, and not farther than
-    # the truncation margin behind the surface (kernel :152-163, :193-196)
-    active = in_fov & (depth_val > 0) & (depth_diff >= -trunc)
+    # the truncation margin behind the surface (kernel :152-163, :193-196);
+    # voxels beyond the active crop are dead padding
+    in_crop = ((gx < active_dims[0]) & (gy < active_dims[1]) &
+               (gz < active_dims[2]))
+    active = in_crop & in_fov & (depth_val > 0) & (depth_diff >= -trunc)
 
     tsdf, weight, label, rem = state
     tsdf_f = tsdf.astype(jnp.float32)
@@ -202,8 +210,8 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
 
 def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
               label_im: jax.Array, rem_im: jax.Array, *,
-              fov_up_deg, fov_down_deg, obs_weight: float = 1.0
-              ) -> TSDFState:
+              fov_up_deg, fov_down_deg, obs_weight: float = 1.0,
+              origin=None, active_dims=None) -> TSDFState:
     """Fuse one range image into the volume (class-aware rule; see module
     docstring). Donates ``state`` for in-place HBM update.
 
@@ -212,12 +220,23 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
       label_im: (H,W) i32 semantic labels
       rem_im:   (H,W) f32 remissions
       fov_up_deg / fov_down_deg: FOV of the *image's* sensor spec
+      origin:   optional (3,) dynamic world origin override (defaults to
+                spec.origin)
+      active_dims: optional (3,) dynamic crop — voxels at/above these grid
+                coords are inert (lets one bucketed static shape serve many
+                per-frame exact bounds)
     """
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    if active_dims is None:
+        active_dims = jnp.asarray(spec.dims, jnp.int32)
     return _integrate_impl(
         state, depth_im, label_im.astype(jnp.int32), rem_im,
         jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
         jnp.float32(obs_weight),
-        dims=spec.dims, voxel_size=spec.voxel_size, origin=spec.origin)
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(active_dims, jnp.float32),
+        dims=spec.dims, voxel_size=spec.voxel_size)
 
 
 def integrate_reference_numpy(tsdf, weight, label, rem, spec: VolumeSpec,

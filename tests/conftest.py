@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# persistent compile cache: repeated suite runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lt")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,176 @@
+"""End-to-end pipeline tests on the synthetic dataset.
+
+Gate 3+6 of SURVEY.md §7: cp transfer identity fidelity (mIoU/MSE) and
+mergemesh 16->8-beam virtual scans validated against the analytic scene.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+from lidar_transfer_tpu.datasets import KittiSequence, kitti, synthetic
+from lidar_transfer_tpu.metrics import compare_scans
+from lidar_transfer_tpu.ops import projection as P
+from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+from lidar_transfer_tpu.pipeline.multiscan import (merge_window,
+                                                   window_indices)
+from lidar_transfer_tpu.pipeline.writer import (filter_virtual_scan,
+                                                write_virtual_scan)
+
+CAP = 8192  # one synthetic scan has ~4k points
+
+
+def make_cfg(**kw):
+    base = dict(adaption="cp", number_of_scans=1, preserve_float=True,
+                voxel_size=0.25,
+                voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    base.update(kw)
+    return TransferConfig(**base)
+
+
+def source_range_image(seq, spec, cfg, idx):
+    """Single source scan projection (the reference's comparison scan,
+    lidar_deform.py:403-409)."""
+    pts, rem, lbl = seq.read(idx)
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, CAP)
+    m = P.mask_classes(jnp.asarray(l), jnp.asarray(m), cfg.ignore_classes)
+    return P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+                           m, H=spec.H, W=spec.W, fov_up_deg=spec.fov_up,
+                           fov_down_deg=spec.fov_down)
+
+
+def test_window_indices():
+    assert window_indices(1, 5) == [5]
+    assert window_indices(3, 5) == [5, 4, 6]
+    assert window_indices(4, 5) == [5, 3, 4, 6]
+
+
+def test_cp_identity_transfer(synthetic_dataset, small_spec):
+    """cp with identical source/target must reproduce the source projection
+    almost exactly (gate 3)."""
+    cfg = make_cfg(adaption="cp", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+
+    idx = 2
+    window = load_window(seq, cfg, idx, CAP)
+    vs, ri = eng.transfer(window)
+    src = source_range_image(seq, small_spec, cfg, idx)
+
+    res = compare_scans(src.label, src.mask, src.range,
+                        jnp.maximum(src.remission, 0.0),
+                        vs.label, vs.range, vs.remission)
+    assert float(res.mean_iou) > 0.99
+    assert float(res.mean_acc) > 0.99
+    assert float(res.mse) < 1e-4
+
+
+def test_cp_multi_scan(synthetic_dataset, small_spec):
+    """3-scan cp: still high fidelity vs the primary scan (extra scans only
+    densify; the primary's points win their own pixels at equal depth...
+    they arrive first in the window)."""
+    cfg = make_cfg(adaption="cp", number_of_scans=3)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    idx = 2
+    window = load_window(seq, cfg, idx, CAP)
+    assert window.nscans == 3
+    vs, _ = eng.transfer(window)
+    src = source_range_image(seq, small_spec, cfg, idx)
+    res = compare_scans(src.label, src.mask, src.range,
+                        jnp.maximum(src.remission, 0.0),
+                        vs.label, vs.range, vs.remission)
+    # multi-scan aggregation fills occlusions and parallax reveals closer
+    # surfaces, so range MSE vs the single primary scan legitimately grows;
+    # label agreement stays high
+    assert float(res.mean_iou) > 0.8
+    assert float(res.mse) < 25.0
+
+
+def test_mergemesh_identity(synthetic_dataset, small_spec, scene):
+    """mergemesh 16->16: virtual scan ranges close to source ranges."""
+    cfg = make_cfg(adaption="mergemesh", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    idx = 2
+    window = load_window(seq, cfg, idx, CAP)
+    vs, ri = eng.transfer(window)
+    src = source_range_image(seq, small_spec, cfg, idx)
+
+    both = np.asarray(vs.mask) & np.asarray(src.mask) \
+        & (np.asarray(src.range) < 14.0)
+    assert both.sum() > 0.4 * np.asarray(src.mask).sum()
+    err = np.abs(np.asarray(vs.range)[both] - np.asarray(src.range)[both])
+    assert np.median(err) < 3 * cfg.voxel_size
+    agree = (np.asarray(vs.label)[both] ==
+             np.asarray(src.label)[both]).mean()
+    assert agree > 0.85
+
+
+def test_mergemesh_downbeam(synthetic_dataset, small_spec, scene):
+    """16 -> 8 beams (the 64->32 analog): validate against analytic scene."""
+    target = SensorSpec(name="t8", beams=8, fov_up=5.0, fov_down=-20.0,
+                        angle_res_hor=360.0 / 128.0)
+    cfg = make_cfg(adaption="mergemesh", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, target, cfg, CAP)
+    idx = 2
+    window = load_window(seq, cfg, idx, CAP)
+    vs, _ = eng.transfer(window)
+
+    rays = np.asarray(eng.rays, np.float64)
+    pose = seq.poses[idx]
+    dirs_w = rays @ pose[:3, :3].T
+    origins = np.broadcast_to(pose[:3, 3], dirs_w.shape)
+    t_true, lbl_true = synthetic.raycast_scene(scene, origins, dirs_w)
+    t_true = t_true.reshape(target.H, target.W)
+    lbl_true = lbl_true.reshape(target.H, target.W)
+
+    inside = np.isfinite(t_true) & (t_true < 12.0)
+    both = np.asarray(vs.mask) & inside
+    assert both.sum() > 0.5 * inside.sum()
+    err = np.abs(np.asarray(vs.range)[both] - t_true[both])
+    assert np.median(err) < 3 * cfg.voxel_size
+    agree = (np.asarray(vs.label)[both] == lbl_true[both]).mean()
+    assert agree > 0.85
+
+
+def test_mesh_adaption_runs(synthetic_dataset, small_spec):
+    cfg = make_cfg(adaption="mesh", number_of_scans=2, voxel_size=0.25)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    window = load_window(seq, cfg, 2, CAP)
+    vs, _ = eng.transfer(window)
+    assert bool(np.asarray(vs.mask).any())
+
+
+def test_writer_roundtrip(tmp_path, synthetic_dataset, small_spec):
+    cfg = make_cfg(adaption="cp")
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    window = load_window(seq, cfg, 2, CAP)
+    vs, _ = eng.transfer(window)
+
+    out = str(tmp_path)
+    import os
+    os.makedirs(os.path.join(out, "velodyne"))
+    os.makedirs(os.path.join(out, "labels"))
+    n = write_virtual_scan(out, 2, vs)
+    assert n > 100
+    pts, rem = kitti.read_scan_file(os.path.join(out, "velodyne",
+                                                 "000002.bin"))
+    lbl = kitti.read_label_file(os.path.join(out, "labels", "000002.label"),
+                                pts.shape[0])
+    assert pts.shape[0] == n
+    assert (np.abs(pts).sum(axis=1) > 0).all()
+    assert set(np.unique(lbl)) <= {0, 10, 40, 50, 71}
+
+
+def test_unknown_adaption_raises(synthetic_dataset, small_spec):
+    cfg = make_cfg(adaption="catmesh")
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    window = load_window(seq, cfg, 2, CAP)
+    with pytest.raises(ValueError):
+        eng.transfer(window)
