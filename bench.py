@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Headline benchmark: virtual scans/sec/chip, 64-beam -> 32-beam transfer.
+
+Protocol per BASELINE.md: source 64 x 2048 (HDL64-like), target 32 beams,
+voxel 0.05 m, mergemesh adaption (the reference's main path, SURVEY.md §3.1).
+The scene is the procedural synthetic world (the reference's minimal.zip
+fixture is not shipped); point counts (~130k/scan) match SemanticKITTI.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
+vs_baseline is against the BASELINE.json north star of 50 scans/sec/chip.
+
+Usage: python bench.py [--frames N] [--warmup N] [--voxel V] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--voxel", type=float, default=0.05)
+    ap.add_argument("--nscans", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from lidar_transfer_tpu.utils import setup_compile_cache
+    setup_compile_cache()
+
+    from lidar_transfer_tpu.config import (HDL64, SensorSpec, TransferConfig)
+    from lidar_transfer_tpu.datasets import kitti, synthetic
+    from lidar_transfer_tpu.pipeline import TransferEngine
+    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
+
+    log(f"devices: {jax.devices()}")
+
+    source = HDL64
+    target = SensorSpec(name="HDL32-like", beams=32, fov_up=3.0,
+                        fov_down=-25.0, angle_res_hor=360.0 / 2048.0)
+    cfg = TransferConfig(
+        adaption="mergemesh", number_of_scans=args.nscans,
+        voxel_size=args.voxel,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+
+    # synthetic scans at slightly different poses (static shapes: capacity
+    # fits the 64x2048 = 131k max return count)
+    scene = synthetic.Scene.default()
+    poses = synthetic.straight_line_poses(args.nscans, step=1.0)
+    cap = 139264  # 64*2048 = 131072 returns, rounded up one 8k bucket
+
+    pts_l, rem_l, lbl_l, val_l, rel_l = [], [], [], [], []
+    inv0 = np.linalg.inv(poses[0])
+    for i in range(args.nscans):
+        pts, rem, lbl = synthetic.simulate_scan(scene, source, poses[i])
+        p, r, l, m = kitti.pad_points(pts, rem, lbl, cap)
+        pts_l.append(p)
+        rem_l.append(r)
+        lbl_l.append(l)
+        val_l.append(m)
+        rel_l.append((inv0 @ poses[i]).astype(np.float32))
+    window = ScanWindow(
+        points=jnp.asarray(np.stack(pts_l)),
+        remissions=jnp.asarray(np.stack(rem_l)),
+        labels=jnp.asarray(np.stack(lbl_l)),
+        valid=jnp.asarray(np.stack(val_l)),
+        rel_pose=jnp.asarray(np.stack(rel_l)),
+        primary_index=0,
+    )
+    log(f"window: {window.nscans} scans x {cap} capacity, "
+        f"{int(np.stack(val_l).sum())} real points")
+
+    eng = TransferEngine(source, target, cfg, cap, fixed_bounds=True)
+    log(f"volume dims {eng.vol_dims} "
+        f"({np.prod(eng.vol_dims)/1e6:.1f}M voxels)")
+
+    def run_frame(w):
+        vs, _ = eng.mergemesh(w)
+        return vs
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    for _ in range(args.warmup):
+        vs = run_frame(window)
+        jax.block_until_ready(vs.range)
+    log(f"warmup+compile: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        vs = run_frame(window)
+        jax.block_until_ready(vs.range)
+    dt = time.perf_counter() - t0
+    scans_per_sec = args.frames / dt
+    rays = target.H * target.W
+    log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s, "
+        f"{scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
+        f"hit rate {float(vs.mask.mean()):.3f}")
+
+    print(json.dumps({
+        "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, mergemesh, "
+                  f"voxel {args.voxel}m, nscans {args.nscans})",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec",
+        "vs_baseline": round(scans_per_sec / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

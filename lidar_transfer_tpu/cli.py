@@ -1,0 +1,198 @@
+"""Command-line driver for batch scan transfer.
+
+Drop-in workflow equivalent of the reference ``lidar_deform.py``
+(lidar_deform.py:77-483) with the same flags:
+
+  lt-transfer -d DATASET [-c CFG.yaml] [-s SEQ] [-t TARGET.yaml]
+              [-o OFFSET] [-p OUT] [-b] [-w] [--one_scan]
+
+plus TPU-era extras (--frames, --fixed-bounds, --metrics-json). The
+interactive vispy viewer of the reference is replaced by offline PNG export
+(see utils/images.py; SURVEY.md §7 step 9 does viz last) — batch mode is the
+production path.
+
+Printed metric lines keep the reference's field names ("IoU:", "Acc:",
+"MSE: ", "Took: ...s" — laserscan.py:1231-1261, lidar_deform.py:422) so
+humans and scripts see familiar output; the structured per-frame metrics are
+also written to --metrics-json (the reference's grid search had to scrape
+stdout by line offset, grid_search_nframes_voxelsize.py:83-89 — ours reads
+the JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from shutil import copy2
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("lt-transfer")
+    p.add_argument("--dataset", "-d", type=str, required=True,
+                   help="Dataset root to adapt (KITTI layout).")
+    p.add_argument("--config", "-c", type=str, default=None,
+                   help="Tool config yaml (defaults to built-in "
+                        "SemanticKITTI mergemesh config).")
+    p.add_argument("--sequence", "-s", type=str, default="00")
+    p.add_argument("--target", "-t", type=str, default="",
+                   help="Target sensor yaml. Defaults to the dataset's "
+                        "config.yaml (identity transfer).")
+    p.add_argument("--offset", "-o", type=int, default=0)
+    p.add_argument("--output", "-p", type=str, default="output/")
+    p.add_argument("--batch", "-b", action="store_true",
+                   help="Batch mode (no visualization export).")
+    p.add_argument("--write", "-w", action="store_true",
+                   help="Write transferred dataset.")
+    p.add_argument("--one_scan", action="store_true", help="Run only once.")
+    p.add_argument("--frames", type=int, default=None,
+                   help="Max frames to process.")
+    p.add_argument("--fixed-bounds", action="store_true",
+                   help="Use full config-bounds volume (fastest on TPU; "
+                        "skips per-frame cloud clipping).")
+    p.add_argument("--metrics-json", type=str, default=None,
+                   help="Write per-frame metrics to this JSON file.")
+    p.add_argument("--png", action="store_true",
+                   help="Export label/range PNGs of each virtual scan.")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend.")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lidar_transfer_tpu.utils import setup_compile_cache, StageTimer
+    setup_compile_cache()
+
+    import jax.numpy as jnp
+    from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+    from lidar_transfer_tpu.datasets import KittiSequence, kitti
+    from lidar_transfer_tpu.metrics import compare_scans
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+    from lidar_transfer_tpu.pipeline.multiscan import min_start_index
+    from lidar_transfer_tpu.pipeline.writer import write_virtual_scan
+
+    # ---- configs (3 layers, ≡ lidar_deform.py:153-325)
+    cfg = (TransferConfig.from_yaml(args.config) if args.config
+           else TransferConfig())
+    source_cfg_path = os.path.join(args.dataset, "config.yaml")
+    source = SensorSpec.from_yaml(source_cfg_path)
+    target_path = args.target or source_cfg_path
+    target = SensorSpec.from_yaml(target_path)
+
+    print("*" * 60)
+    print(f"Source {source.name}: {source.H} x {source.W} "
+          f"fov [{source.fov_up}, {source.fov_down}]")
+    print(f"Target {target.name}: {target.H} x {target.W} "
+          f"fov [{target.fov_up}, {target.fov_down}]")
+    print(f"Adaption {cfg.adaption}, nscans {cfg.number_of_scans}, "
+          f"voxel {cfg.voxel_size}, preserve_float {cfg.preserve_float}")
+    print("*" * 60)
+
+    seq = KittiSequence.open(args.dataset, args.sequence)
+    if len(seq) == 0:
+        print("Empty sequence! Exiting...")
+        return 1
+
+    # capacity: largest scan in the sequence, bucketed (static shapes)
+    probe = max(os.path.getsize(f) // 16 for f in seq.scan_files)
+    capacity = kitti.scan_capacity(probe)
+
+    out_path = None
+    if args.write:
+        out_path = kitti.make_output_dirs(args.output, args.sequence,
+                                          write_png=args.png)
+        copy2(target_path, out_path)
+        if args.config:
+            copy2(args.config, out_path)
+        cfg.to_yaml(os.path.join(out_path, "lidar_transfer.yaml"))
+
+    eng = TransferEngine(source, target, cfg, capacity,
+                         fixed_bounds=args.fixed_bounds)
+
+    same_dims = (source.H, source.W) == (target.H, target.W)
+    idx = max(args.offset, min_start_index(cfg.number_of_scans))
+    if idx != args.offset:
+        print(f"Automatic offset {idx}")
+    end = len(seq) - (cfg.number_of_scans - 1)
+    increment = cfg.batch_interval if args.batch else 1
+    frames_done = 0
+    all_metrics = []
+
+    while idx < end:
+        timer = StageTimer()
+        t0 = time.time()
+        with timer.span("window", cfg.number_of_scans):
+            window = load_window(seq, cfg, idx, capacity)
+        with timer.span("transfer", 1):
+            vs, ri = eng.transfer(window)
+            jax.block_until_ready(vs.range)
+
+        frame_metrics = {"index": idx}
+        if same_dims:
+            # source reference scan (≡ lidar_deform.py:403-409)
+            pts, rem, lbl = seq.read(idx)
+            p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+            m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
+                               cfg.ignore_classes)
+            src = P.range_project(
+                jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
+                H=source.H, W=source.W, fov_up_deg=source.fov_up,
+                fov_down_deg=source.fov_down,
+                beam_angles=eng.s_beam_angles)
+            res = compare_scans(src.label, src.mask, src.range,
+                                jnp.maximum(src.remission, 0.0),
+                                vs.label, vs.range, vs.remission)
+            iou = np.asarray(res.iou_per_class)
+            present = np.asarray(res.present)
+            print("IoU class: ", (iou[present] * 100).astype(int))
+            print("IoU: ", float(res.mean_iou))
+            print("Acc: ", float(res.mean_acc))
+            print("MSE: ", float(res.mse))
+            frame_metrics.update(iou=float(res.mean_iou),
+                                 acc=float(res.mean_acc),
+                                 mse=float(res.mse))
+
+        if args.write:
+            with timer.span("write", 1):
+                n = write_virtual_scan(out_path, idx, vs)
+            frame_metrics["points_written"] = n
+            if args.png:
+                from lidar_transfer_tpu.utils.images import (
+                    save_virtual_scan_pngs)
+                save_virtual_scan_pngs(out_path, idx, vs, cfg)
+
+        s = time.time() - t0
+        print("Took: %.2fs" % s)
+        frame_metrics["seconds"] = s
+        frame_metrics["stages"] = timer.report()
+        all_metrics.append(frame_metrics)
+        frames_done += 1
+
+        if args.one_scan:
+            break
+        if args.frames is not None and frames_done >= args.frames:
+            break
+        idx += increment
+        print("#" * 30, args.sequence, "-", idx, "/", len(seq), "#" * 30)
+
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as f:
+            json.dump(all_metrics, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""RangeNet-style range-image semantic segmentation (flax).
+
+The reference drives an *external* darknet53 range-image CNN
+(lidar-bonnetal) from shell scripts (reference experiments/train.sh,
+run_fake_on_fake.sh — SURVEY.md §2 C15) to evaluate transferred datasets.
+This module brings that capability in-framework, TPU-first:
+
+  - darknet-style residual encoder that downsamples width only (range
+    images are 64 x 2048: H is small, W carries the angular resolution) —
+    the standard RangeNet backbone layout;
+  - bf16 compute / f32 params, convs sized for the MXU;
+  - a skip-connected upsampling decoder to per-pixel class logits;
+  - masked cross-entropy (no-data pixels carry label 0 = unlabeled);
+  - train/infer steps ready for dp+tp sharding (see parallel/sharding.py).
+
+Input features per pixel: (range, x, y, z, remission) — the classic
+RangeNet 5-channel encoding, built from our RangeImage op outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class RangeNetConfig:
+    num_classes: int = 34
+    # residual blocks per stage (darknet53 uses (1,2,8,8,4))
+    stage_blocks: tuple[int, ...] = (1, 2, 8, 8, 4)
+    stage_features: tuple[int, ...] = (64, 128, 256, 512, 1024)
+    stem_features: int = 32
+    compute_dtype: Any = jnp.bfloat16
+    input_channels: int = 5
+
+    @classmethod
+    def darknet21(cls, num_classes: int = 34) -> "RangeNetConfig":
+        return cls(num_classes=num_classes, stage_blocks=(1, 1, 2, 2, 1))
+
+    @classmethod
+    def tiny(cls, num_classes: int = 34) -> "RangeNetConfig":
+        """For tests/dryruns."""
+        return cls(num_classes=num_classes, stage_blocks=(1, 1),
+                   stage_features=(32, 64), stem_features=16)
+
+
+class ResBlock(nn.Module):
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features // 2, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        h = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = nn.Conv(self.features, (3, 3), use_bias=False,
+                    dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(h)
+        h = nn.leaky_relu(h, 0.1)
+        return x + h
+
+
+class RangeNet(nn.Module):
+    """Width-downsampling darknet encoder + skip decoder."""
+
+    cfg: RangeNetConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dt = c.compute_dtype
+        x = x.astype(dt)
+
+        h = nn.Conv(c.stem_features, (3, 3), use_bias=False, dtype=dt)(x)
+        h = nn.BatchNorm(use_running_average=True, dtype=dt)(h)
+        h = nn.leaky_relu(h, 0.1)
+
+        skips = []
+        for blocks, feats in zip(c.stage_blocks, c.stage_features):
+            skips.append(h)
+            # downsample width only (stride (1,2)) — RangeNet convention
+            h = nn.Conv(feats, (3, 3), strides=(1, 2), use_bias=False,
+                        dtype=dt)(h)
+            h = nn.BatchNorm(use_running_average=True, dtype=dt)(h)
+            h = nn.leaky_relu(h, 0.1)
+            for _ in range(blocks):
+                h = ResBlock(feats, dt)(h)
+
+        for skip in reversed(skips):
+            feats = skip.shape[-1]
+            b, hh, ww, cc = h.shape
+            h = jax.image.resize(h, (b, hh, ww * 2, cc), "nearest")
+            h = nn.Conv(max(feats, 32), (3, 3), use_bias=False, dtype=dt)(h)
+            h = nn.BatchNorm(use_running_average=True, dtype=dt)(h)
+            h = nn.leaky_relu(h, 0.1)
+            h = jnp.concatenate([h, skip.astype(dt)], axis=-1)
+
+        logits = nn.Conv(c.num_classes, (1, 1), dtype=jnp.float32)(h)
+        return logits.astype(jnp.float32)
+
+
+def range_image_features(rng, xyz, remission, mask):
+    """Stack the 5-channel RangeNet input from projection outputs.
+
+    Args: rng (H,W), xyz (H,W,3), remission (H,W), mask (H,W) bool.
+    """
+    feats = jnp.concatenate([
+        rng[..., None], xyz, jnp.maximum(remission, 0.0)[..., None]],
+        axis=-1)
+    return jnp.where(mask[..., None], feats, 0.0)
+
+
+def masked_cross_entropy(logits, labels, weights):
+    """Mean CE over pixels with weight>0; labels are class INDICES (dense),
+    not raw SemanticKITTI ids — map via a label LUT upstream."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = weights.astype(jnp.float32)
+    return -(ll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def make_train_state(model: RangeNet, rng_key, sample_shape,
+                     learning_rate: float = 1e-3):
+    """-> (params, opt_state, tx). Functional (no flax TrainState dep)."""
+    params = model.init(rng_key, jnp.zeros(sample_shape, jnp.float32))
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+    return params, opt_state, tx
+
+
+def loss_fn(model: RangeNet, params, batch):
+    logits = model.apply(params, batch["features"])
+    loss = masked_cross_entropy(logits, batch["labels"], batch["weights"])
+    return loss, logits
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model: RangeNet, tx, params, opt_state, batch):
+    """One SGD step. jit-able and shardable (see parallel/sharding.py)."""
+    (loss, _), grads = jax.value_and_grad(
+        lambda p: loss_fn(model, p, batch), has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def infer(model: RangeNet, params, features):
+    """-> per-pixel argmax class indices."""
+    logits = model.apply(params, features)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,7 @@
+from lidar_transfer_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    shard_params_tp,
+    sharded_train_step,
+    sharded_confusion,
+    integrate_sharded,
+)

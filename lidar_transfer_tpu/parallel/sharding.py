@@ -1,0 +1,148 @@
+"""Multi-chip scale-out: device meshes, dp+tp training, sharded TSDF.
+
+The reference has *no* distributed parallelism at all (SURVEY.md §2.3 — one
+pycuda GPU, OpenMP threads, shell-level batch fan-out). This module is the
+TPU-native replacement:
+
+  - **data parallel** scan/sequence batches via sharding the batch axis of
+    the training step (the analog of `run_lidar_deform.sh`'s 11 sequential
+    processes, but on one mesh with psum'd gradients handled by GSPMD);
+  - **tensor parallel** conv channels for the RangeNet model (wide conv
+    kernels sharded over the "model" axis);
+  - **spatially sharded TSDF fusion** over the volume's X axis via
+    ``shard_map`` — the exact scaling limit the reference flags at
+    fusion_lidar.py:45 ("TODO Use larger voxel volume ... by spliting");
+    integrate needs NO collectives (pure per-voxel gather), each shard gets
+    the replicated ~0.5MB range image;
+  - **psum'd confusion matrices** for evaluation across chips
+    (np_ioueval's addBatch distributed over the batch axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lidar_transfer_tpu.metrics.ioueval import confusion_matrix
+from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec, integrate
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_names: tuple[str, str] = ("data", "model"),
+              devices=None) -> Mesh:
+    """Mesh over available devices: model axis gets the largest factor <= 2
+    unless n is a perfect split; rest is data."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # driver dry-runs request N virtual host devices; fall back to
+            # the cpu backend when the default backend is a single chip
+            devices = jax.devices("cpu")
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    model = 2 if n % 2 == 0 and n >= 2 else 1
+    data = n // model
+    dev_array = np.asarray(devices)[: data * model].reshape(data, model)
+    return Mesh(dev_array, axis_names)
+
+
+def shard_params_tp(params, mesh: Mesh, min_features: int = 256):
+    """Tensor-parallel placement: conv kernels with a wide output-channel
+    axis are sharded over the "model" axis; everything else replicated."""
+    def place(x):
+        if (hasattr(x, "ndim") and x.ndim == 4
+                and x.shape[-1] >= min_features
+                and x.shape[-1] % mesh.shape["model"] == 0):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, place(x)), params)
+
+
+def sharded_train_step(model, tx, mesh: Mesh):
+    """Build a jitted dp+tp training step bound to a mesh.
+
+    Batch is sharded over "data"; params keep their (possibly tp) placement;
+    GSPMD inserts the gradient psum over "data" and the activation
+    collectives for the tp'd channels.
+    """
+    batch_sharding = dict(
+        features=NamedSharding(mesh, P("data")),
+        labels=NamedSharding(mesh, P("data")),
+        weights=NamedSharding(mesh, P("data")),
+    )
+
+    from lidar_transfer_tpu.models.rangenet import loss_fn
+    import optax
+
+    def step(params, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, in_shardings=(None, None, batch_sharding))
+
+
+def sharded_confusion(mesh: Mesh, n_classes: int):
+    """shard_map'd confusion-matrix accumulation with an explicit psum over
+    the data axis (SURVEY.md §2.3: ICI psum for metric reductions)."""
+    from jax import shard_map
+
+    def local(pred, target):
+        cm = confusion_matrix(pred, target, n_classes)
+        return jax.lax.psum(cm, axis_name="data")
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P())
+
+
+def shard_volume(state: TSDFState, mesh: Mesh) -> TSDFState:
+    """Place the volume's X axis across the data axis of the mesh."""
+    sh = NamedSharding(mesh, P("data", None, None))
+    return TSDFState(*(jax.device_put(a, sh) for a in state))
+
+
+def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
+                      depth_im, label_im, rem_im, *,
+                      fov_up_deg, fov_down_deg, obs_weight=1.0):
+    """TSDF fusion with the volume X-sharded across devices.
+
+    Each device owns an X-slab; the voxel update is purely local (gather
+    from the replicated range image), so no collectives are needed — GSPMD
+    keeps the sharding through the elementwise ops. The slab origin shift is
+    handled inside ``integrate`` via the dynamic origin operand per shard.
+    """
+    from jax import shard_map
+
+    n_shards = mesh.shape["data"]
+    X = spec.dims[0]
+    if X % n_shards:
+        raise ValueError(f"volume X dim {X} not divisible by {n_shards}")
+    slab = X // n_shards
+    slab_spec = VolumeSpec(origin=spec.origin, voxel_size=spec.voxel_size,
+                           dims=(slab,) + spec.dims[1:])
+
+    def local(st: TSDFState, d, l, r):
+        shard_idx = jax.lax.axis_index("data")
+        origin = jnp.asarray(spec.origin, jnp.float32)
+        origin = origin.at[0].add(
+            shard_idx.astype(jnp.float32) * slab * spec.voxel_size)
+        return integrate(st, slab_spec, d, l, r,
+                         fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
+                         obs_weight=obs_weight, origin=origin)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(TSDFState(P("data", None, None), P("data", None, None),
+                            P("data", None, None), P("data", None, None)),
+                  P(), P(), P()),
+        out_specs=TSDFState(P("data", None, None), P("data", None, None),
+                            P("data", None, None), P("data", None, None)))
+    return fn(state, depth_im, label_im.astype(jnp.int32), rem_im)

@@ -72,6 +72,11 @@ class TransferEngine:
     target: SensorSpec
     cfg: TransferConfig
     capacity: int
+    # True: always use the full config-bounds volume (no per-frame cloud
+    # clipping). Skips one device->host sync per frame — the right choice on
+    # TPU where the bucketed volume easily fits HBM; False reproduces the
+    # reference's per-frame clipped bounds (laserscan.py:957-962).
+    fixed_bounds: bool = False
 
     def __post_init__(self):
         t = self.target
@@ -121,6 +126,9 @@ class TransferEngine:
     def _frame_volume(self, pts, valid):
         """Per-frame clipped+bucketed volume placement (host sync for the
         cloud bounding box only — 6 floats)."""
+        if self.fixed_bounds:
+            return (jnp.asarray(self.vol_spec.origin, jnp.float32),
+                    jnp.asarray(self.vol_spec.dims, jnp.int32))
         big = 1e9
         lo = jnp.where(valid[:, None], pts, big).min(axis=0)
         hi = jnp.where(valid[:, None], pts, -big).max(axis=0)

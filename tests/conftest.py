@@ -6,13 +6,19 @@ conftest before collecting test modules, so this is the right place.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the image presets JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must be hermetic on the virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; the config update
+# (before any backend init) wins
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: repeated suite runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lt")

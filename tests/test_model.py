@@ -1,0 +1,68 @@
+"""RangeNet model tests (tiny config — 1-core CI budget)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_transfer_tpu.models import (RangeNet, RangeNetConfig,
+                                       make_train_state, train_step, infer)
+from lidar_transfer_tpu.models.rangenet import (masked_cross_entropy,
+                                                range_image_features)
+
+
+def test_forward_shapes():
+    cfg = RangeNetConfig.tiny(num_classes=10)
+    model = RangeNet(cfg)
+    x = jnp.zeros((2, 16, 64, cfg.input_channels))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 16, 64, 10)
+    assert logits.dtype == jnp.float32
+
+
+def test_train_step_reduces_loss():
+    cfg = RangeNetConfig.tiny(num_classes=4)
+    model = RangeNet(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 32, 5)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, size=(2, 8, 32)).astype(np.int32))
+    weights = jnp.ones((2, 8, 32), jnp.float32)
+    batch = dict(features=feats, labels=labels, weights=weights)
+
+    params, opt_state, tx = make_train_state(model, jax.random.PRNGKey(1),
+                                             (1, 8, 32, 5))
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = train_step(model, tx, params, opt_state,
+                                             batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    pred = infer(model, params, feats)
+    assert pred.shape == (2, 8, 32)
+    assert pred.dtype == jnp.int32
+
+
+def test_masked_cross_entropy_ignores_masked():
+    logits = jnp.zeros((1, 2, 2, 3))
+    labels = jnp.asarray([[[0, 1], [2, 0]]], jnp.int32)
+    w_all = jnp.ones((1, 2, 2))
+    w_none = jnp.zeros((1, 2, 2))
+    full = float(masked_cross_entropy(logits, labels, w_all))
+    np.testing.assert_allclose(full, np.log(3.0), rtol=1e-5)
+    empty = float(masked_cross_entropy(logits, labels, w_none))
+    assert empty == 0.0
+
+
+def test_range_image_features_masking():
+    h, w = 4, 8
+    rng_im = jnp.ones((h, w))
+    xyz = jnp.ones((h, w, 3))
+    rem = jnp.full((h, w), -1.0)  # no-data remission is -1
+    mask = jnp.zeros((h, w), bool).at[0, 0].set(True)
+    feats = np.asarray(range_image_features(rng_im, xyz, rem, mask))
+    assert feats.shape == (h, w, 5)
+    assert feats[0, 0, 0] == 1.0
+    assert feats[0, 0, 4] == 0.0  # clamped remission
+    assert (feats[1:] == 0).all()
