@@ -103,9 +103,10 @@ def main():
     log(f"warmup+compile: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(args.frames):
+    for i in range(args.frames):
         vs = run_frame(window)
         jax.block_until_ready(vs.range)
+        log(f"frame {i}: {time.perf_counter()-t0:.3f}s cumulative")
     dt = time.perf_counter() - t0
     scans_per_sec = args.frames / dt
     rays = target.H * target.W
