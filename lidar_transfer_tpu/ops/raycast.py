@@ -151,14 +151,44 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
         val = jnp.where(inside & occ_here, tsdf_f[flat], 1.0)
         return val, occ_here, inside, flat
 
+    def sample_trilinear(t):
+        """Trilinearly interpolated TSDF at origin + rays*t (8 gathers).
+
+        TSDF values live at voxel corners (origin + i*voxel — exactly where
+        ops/tsdf.py evaluates them), so the continuous field is the
+        trilinear blend of the 8 surrounding corners. Used only for hit
+        refinement, not in the marching loop.
+        """
+        pos = origin[None, :] + rays * t[:, None]
+        g = (pos - vorigin[None, :]) / vox
+        gi = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
+                      jnp.asarray([X - 2, Y - 2, Z - 2]))
+        f = jnp.clip(g - gi.astype(jnp.float32), 0.0, 1.0)
+        base = (gi[:, 0] * Y + gi[:, 1]) * Z + gi[:, 2]
+        acc = jnp.zeros((R,), jnp.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = ((f[:, 0] if dx else 1.0 - f[:, 0]) *
+                         (f[:, 1] if dy else 1.0 - f[:, 1]) *
+                         (f[:, 2] if dz else 1.0 - f[:, 2]))
+                    acc = acc + w * tsdf_f[base + (dx * Y + dy) * Z + dz]
+        return acc
+
     t0 = jnp.maximum(t_near, 0.0) + 1e-4
+    # seed prev_val from the actual field at t0 (not an assumed free-space
+    # +1): a ray that *starts* inside negative space must not fabricate a
+    # crossing at t~0 — it only hits once it exits and re-enters a surface
+    val0, _, _, _ = sample(t0)
     state0 = dict(
         t=t0,
         prev_t=t0,
-        prev_val=jnp.ones((R,), jnp.float32),
+        prev_val=val0,
         done=t0 > t_far,
         hit=jnp.zeros((R,), bool),
         hit_t=jnp.zeros((R,), jnp.float32),
+        hit_lo=jnp.zeros((R,), jnp.float32),
+        hit_hi=jnp.zeros((R,), jnp.float32),
         hit_flat=jnp.zeros((R,), jnp.int32),
         step=jnp.int32(0),
     )
@@ -176,6 +206,8 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
 
         hit = s["hit"] | crossing
         hit_t = jnp.where(crossing, t_hit, s["hit_t"])
+        hit_lo = jnp.where(crossing, s["prev_t"], s["hit_lo"])
+        hit_hi = jnp.where(crossing, s["t"], s["hit_hi"])
         hit_flat = jnp.where(crossing, flat, s["hit_flat"])
 
         done = s["done"] | crossing | (s["t"] > t_far)
@@ -187,6 +219,8 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
             done=done,
             hit=hit,
             hit_t=hit_t,
+            hit_lo=hit_lo,
+            hit_hi=hit_hi,
             hit_flat=hit_flat,
             step=s["step"] + 1,
         )
@@ -194,7 +228,34 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
     s = jax.lax.while_loop(cond, body, state0)
 
     hit = s["hit"]
-    rng_out = jnp.where(hit, s["hit_t"], 0.0)
+
+    # sub-voxel refinement: 8 bisection steps on the *trilinear* field
+    # within the crossing bracket [hit_lo, hit_hi]. The marching loop's
+    # floor-voxel sampling localizes the surface to within one step; this
+    # recovers the continuous zero crossing (the surface marching
+    # tetrahedra + exact triangle intersection would produce).
+    # floor sampling shifts the apparent field by up to a voxel diagonal
+    # (value of corner i serves all of cell [i, i+1)); widen the bracket by
+    # 2 voxels each way so it straddles the *trilinear* zero crossing
+    margin = 2.0 * vox
+    lo_t = jnp.maximum(s["hit_lo"] - margin, 0.0)
+    hi_t = s["hit_hi"] + margin
+    f_lo = sample_trilinear(lo_t)
+    f_hi = sample_trilinear(hi_t)
+    bracket_ok = (f_lo > 0.0) & (f_hi < 0.0)
+    for _ in range(10):
+        mid = 0.5 * (lo_t + hi_t)
+        f_mid = sample_trilinear(mid)
+        same_side = (f_mid > 0.0) == (f_lo > 0.0)
+        lo_t = jnp.where(same_side, mid, lo_t)
+        f_lo = jnp.where(same_side, f_mid, f_lo)
+        hi_t = jnp.where(same_side, hi_t, mid)
+    refined = 0.5 * (lo_t + hi_t)
+    # trust the refinement only if the widened bracket actually straddled
+    # the trilinear surface; otherwise keep the loop's linear estimate
+    hit_t = jnp.where(hit & bracket_ok, refined, s["hit_t"])
+
+    rng_out = jnp.where(hit, hit_t, 0.0)
     lbl_out = jnp.where(hit, label_f[s["hit_flat"]], 0)
     rem_out = jnp.where(hit, rem_f[s["hit_flat"]], 0.0)
     ends = jnp.where(hit[:, None], origin[None, :] + rays * rng_out[:, None],
