@@ -1,32 +1,24 @@
 """Confusion-matrix IoU/accuracy metrics on device (JAX).
 
 TPU-native rebuild of the reference ``iouEval``
-(auxiliary/np_ioueval.py:8-70): the ``np.add.at`` scatter becomes a jitted
-scatter-add; matrices from sharded batches reduce with ``psum`` when used
-inside ``shard_map``. Semantics (ignore-class row+col masking, the 1e-15
-union epsilon, mean over included classes) match exactly.
+(auxiliary/np_ioueval.py:8-70): the ``np.add.at`` scatter becomes a dense
+one-hot MXU contraction (metrics/confusion.py — Pallas kernel on TPU, XLA
+matmul elsewhere; ~2x the jitted scatter-add); matrices from sharded
+batches reduce with ``psum`` when used inside ``shard_map``. Semantics
+(ignore-class row+col masking, the 1e-15 union epsilon, mean over included
+classes) match exactly.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lidar_transfer_tpu.metrics.confusion import confusion_matrix
 
-@functools.partial(jax.jit, static_argnames=("n_classes",))
-def confusion_matrix(pred: jax.Array, target: jax.Array,
-                     n_classes: int) -> jax.Array:
-    """(n_classes, n_classes) int32 matrix; rows=pred, cols=target.
-
-    ≡ reference addBatch (np_ioueval.py:27-43): conf[pred, gt] += 1.
-    """
-    p = pred.reshape(-1).astype(jnp.int32)
-    t = target.reshape(-1).astype(jnp.int32)
-    cm = jnp.zeros((n_classes, n_classes), dtype=jnp.int32)
-    return cm.at[p, t].add(1, mode="drop")
+__all__ = ["confusion_matrix", "iou_from_confusion", "acc_from_confusion",
+           "IoUEval"]
 
 
 def _masked_stats(conf: jax.Array, ignore_mask: jax.Array):
