@@ -17,9 +17,9 @@ from lidar_transfer_tpu.config import TransferConfig, make_color_lut
 
 def get_mpl_colormap(cmap_name: str = "viridis") -> np.ndarray:
     """256x3 uint8 LUT from a matplotlib colormap (≡ tools.py:7-16)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
-    cmap = cm.get_cmap(cmap_name, 256)
+    cmap = matplotlib.colormaps[cmap_name].resampled(256)
     return (cmap(np.arange(256))[:, :3] * 255).astype(np.uint8)
 
 
