@@ -1,0 +1,220 @@
+"""Grid search: number_of_scans x voxel_size (x sequences), in-process.
+
+Rebuild of ``experiments/grid_search_nframes_voxelsize.py`` (reference
+:41-113). The reference mutated the YAML config on disk (`change_config`,
+:9-15), subprocessed ``lidar_deform.py --one_scan -b`` per cell (:73-80),
+and parsed IoU/Acc/MSE from stdout by line offset (:83-89, with the offset
+depending on the adaption — a fragile, load-bearing print-order contract).
+Here each cell calls the TransferEngine directly and metrics come back as
+values; results are written as JSON and rendered as SVG heat maps like the
+reference's plots (:102-111).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
+                      offset: int = 0, frames: int = 1,
+                      target_yaml: str | None = None,
+                      fixed_bounds: bool = False) -> dict:
+    """Run the transfer on `frames` scans and return mean IoU/Acc/MSE.
+
+    One in-process equivalent of a reference grid-search cell
+    (grid_search_nframes_voxelsize.py:73-89).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.config import SensorSpec
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.metrics import compare_scans
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+    from lidar_transfer_tpu.pipeline.multiscan import min_start_index
+
+    source = SensorSpec.from_yaml(os.path.join(dataset, "config.yaml"))
+    target = (SensorSpec.from_yaml(target_yaml) if target_yaml else source)
+    seq = KittiSequence.open(dataset, sequence)
+    capacity = kitti.scan_capacity(
+        max(os.path.getsize(f) // 16 for f in seq.scan_files))
+    eng = TransferEngine(source, target, cfg, capacity,
+                         fixed_bounds=fixed_bounds)
+
+    idx0 = max(offset, min_start_index(cfg.number_of_scans))
+    end = len(seq) - (cfg.number_of_scans - 1)
+    ious, accs, mses = [], [], []
+    t0 = time.time()
+    n_done = 0
+    for k in range(frames):
+        idx = idx0 + k
+        if idx >= end:
+            break
+        window = load_window(seq, cfg, idx, capacity)
+        vs, _ = eng.transfer(window)
+        if (source.H, source.W) == (target.H, target.W):
+            pts, rem, lbl = seq.read(idx)
+            p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+            m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
+                               cfg.ignore_classes)
+            src = P.range_project(
+                jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
+                H=source.H, W=source.W, fov_up_deg=source.fov_up,
+                fov_down_deg=source.fov_down,
+                beam_angles=eng.s_beam_angles)
+            res = compare_scans(src.label, src.mask, src.range,
+                                jnp.maximum(src.remission, 0.0),
+                                vs.label, vs.range, vs.remission)
+            ious.append(float(res.mean_iou))
+            accs.append(float(res.mean_acc))
+            mses.append(float(res.mse))
+        jax.block_until_ready(vs.range)
+        n_done += 1
+    dt = time.time() - t0
+    out = {"frames": n_done, "seconds": dt,
+           "scans_per_sec": n_done / max(dt, 1e-9)}
+    if ious:
+        out.update(iou=float(np.mean(ious)), acc=float(np.mean(accs)),
+                   mse=float(np.mean(mses)))
+    return out
+
+
+def grid_search(dataset: str, *, frames_list=(1, 2, 3),
+                voxel_sizes=(0.25, 0.1, 0.05), sequences=("00",),
+                offset: int = 0, frames_per_cell: int = 1,
+                adaption: str = "mergemesh", base_cfg=None,
+                target_yaml: str | None = None,
+                out_dir: str | None = None, verbose: bool = True) -> dict:
+    """Sweep number_of_scans x voxel_size over sequences.
+
+    Returns {"cells": [...], "grid": {...}} and, with ``out_dir``, writes
+    ``grid_search.json`` + ``heatmap_{iou,acc,mse}.svg``
+    (≡ reference plots, grid_search_nframes_voxelsize.py:96-111).
+    """
+    import dataclasses
+
+    from lidar_transfer_tpu.config import TransferConfig
+
+    base = base_cfg or TransferConfig()
+    cells = []
+    for nscans in frames_list:
+        for voxel in voxel_sizes:
+            cfg = dataclasses.replace(base, adaption=adaption,
+                                      number_of_scans=int(nscans),
+                                      voxel_size=float(voxel))
+            per_seq = []
+            for seq in sequences:
+                r = evaluate_transfer(dataset, cfg, sequence=seq,
+                                      offset=offset,
+                                      frames=frames_per_cell,
+                                      target_yaml=target_yaml)
+                per_seq.append(r)
+            cell = {"number_of_scans": int(nscans),
+                    "voxel_size": float(voxel),
+                    "sequences": {s: r for s, r in zip(sequences, per_seq)}}
+            for key in ("iou", "acc", "mse", "scans_per_sec"):
+                vals = [r[key] for r in per_seq if key in r]
+                if vals:
+                    cell[key] = float(np.mean(vals))
+            cells.append(cell)
+            if verbose:
+                msg = ", ".join(f"{k}={cell[k]:.4f}"
+                                for k in ("iou", "acc", "mse") if k in cell)
+                print(f"nscans={nscans} voxel={voxel}: {msg}")
+
+    result = {"grid": {"frames_list": list(frames_list),
+                       "voxel_sizes": list(voxel_sizes),
+                       "sequences": list(sequences),
+                       "adaption": adaption},
+              "cells": cells}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "grid_search.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        for metric in ("iou", "acc", "mse"):
+            if any(metric in c for c in cells):
+                _heatmap(result, metric,
+                         os.path.join(out_dir, f"heatmap_{metric}.svg"))
+    return result
+
+
+def _heatmap(result: dict, metric: str, out_file: str) -> None:
+    """Render a frames x voxel heat map (≡ reference `plot`, :18-38)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    frames = result["grid"]["frames_list"]
+    voxels = result["grid"]["voxel_sizes"]
+    data = np.full((len(frames), len(voxels)), np.nan)
+    for c in result["cells"]:
+        if metric in c:
+            i = frames.index(c["number_of_scans"])
+            j = voxels.index(c["voxel_size"])
+            data[i, j] = c[metric]
+    fig, ax = plt.subplots(figsize=(1.2 * len(voxels) + 2,
+                                    0.8 * len(frames) + 2))
+    im = ax.imshow(data, cmap="viridis", aspect="auto")
+    ax.set_xticks(range(len(voxels)), [str(v) for v in voxels])
+    ax.set_yticks(range(len(frames)), [str(f) for f in frames])
+    ax.set_xlabel("voxel size [m]")
+    ax.set_ylabel("number of scans")
+    ax.set_title(metric)
+    for i in range(len(frames)):
+        for j in range(len(voxels)):
+            if np.isfinite(data[i, j]):
+                ax.text(j, i, f"{data[i, j]:.3f}", ha="center",
+                        va="center", color="white", fontsize=8)
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(out_file)
+    plt.close(fig)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser("lt-grid-search")
+    p.add_argument("--dataset", "-d", required=True)
+    p.add_argument("--sequences", "-s", nargs="+", default=["00"])
+    p.add_argument("--frames-list", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--voxel-sizes", type=float, nargs="+",
+                   default=[0.25, 0.1, 0.05])
+    p.add_argument("--frames-per-cell", type=int, default=1)
+    p.add_argument("--offset", "-o", type=int, default=0)
+    p.add_argument("--adaption", default="mergemesh")
+    p.add_argument("--target", "-t", default=None)
+    p.add_argument("--out", default="grid_out/")
+    p.add_argument("--config", "-c", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.utils import setup_compile_cache
+    setup_compile_cache()
+
+    base = (TransferConfig.from_yaml(args.config) if args.config
+            else None)
+    grid_search(args.dataset, frames_list=args.frames_list,
+                voxel_sizes=args.voxel_sizes, sequences=args.sequences,
+                offset=args.offset, frames_per_cell=args.frames_per_cell,
+                adaption=args.adaption, base_cfg=base,
+                target_yaml=args.target, out_dir=args.out)
+    print(f"results in {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,343 @@
+"""RangeNet segmentation harness: train / infer / eval on KITTI datasets.
+
+Replaces the reference's external-tool chain (SURVEY.md §2.1 C15): its
+``experiments/train.sh`` shells out to lidar-bonnetal's train.py/infer.py
+and ``run_fake_on_fake.sh:30-35`` to semantic-kitti-api's
+evaluate_semantics.py. Here the whole loop is in-framework and on-device:
+
+  train_segmentation  range-project scans -> 5-channel features -> RangeNet
+                      (flax, bf16 convs on the MXU) with masked CE; data-
+                      parallel over the device mesh when >1 device.
+  write_predictions   per-scan argmax -> back-mapped raw ids -> .label files
+                      in semantic-kitti predictions layout (readable by
+                      lt-visualize -p and by evaluate_semantics).
+  evaluate_semantics  point-wise confusion over (prediction, ground-truth)
+                      label files -> mIoU / acc (≡ semantic-kitti-api
+                      evaluate_semantics.py semantics with our IoUEval).
+
+Label handling: raw SemanticKITTI ids are mapped to dense train indices
+via ``LabelMapper`` (built from the config's ``labels`` block). Moving
+classes are folded onto their static counterparts (id-252 -> 10 etc. —
+the same merge bonnetal's learning_map performs), ignore classes get
+weight 0 in the loss and are excluded from the IoU mean.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+# moving -> static folds (SemanticKITTI convention)
+MOVING_TO_STATIC = {252: 10, 253: 31, 254: 30, 255: 32, 256: 16, 257: 13,
+                    258: 18, 259: 20}
+
+
+@dataclasses.dataclass(frozen=True)
+class LabelMapper:
+    """Bijective-ish map raw label ids <-> dense train indices."""
+
+    raw_ids: tuple[int, ...]          # index -> raw id (train classes)
+    raw_to_index: np.ndarray          # (max_raw+1,) raw id -> index
+    ignore_indices: tuple[int, ...]   # train indices excluded from loss/IoU
+
+    @classmethod
+    def from_labels(cls, labels: dict[int, str],
+                    ignore_classes=(0, 1)) -> "LabelMapper":
+        static_ids = sorted(k for k in labels
+                            if k not in MOVING_TO_STATIC)
+        max_raw = max(labels) + 1
+        raw_to_index = np.zeros((max_raw,), np.int32)
+        for idx, raw in enumerate(static_ids):
+            raw_to_index[raw] = idx
+        for moving, static in MOVING_TO_STATIC.items():
+            if moving < max_raw and static in static_ids:
+                raw_to_index[moving] = static_ids.index(static)
+        ignore_idx = tuple(static_ids.index(c) for c in ignore_classes
+                           if c in static_ids)
+        return cls(raw_ids=tuple(static_ids), raw_to_index=raw_to_index,
+                   ignore_indices=ignore_idx)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.raw_ids)
+
+    def to_index(self, raw: np.ndarray) -> np.ndarray:
+        raw = np.clip(raw, 0, self.raw_to_index.shape[0] - 1)
+        return self.raw_to_index[raw]
+
+    def to_raw(self, index: np.ndarray) -> np.ndarray:
+        lut = np.asarray(self.raw_ids, np.int32)
+        return lut[np.clip(index, 0, self.num_classes - 1)]
+
+
+def _frame_tensors(seq, idx, spec, capacity, mapper, cfg):
+    """One scan -> (features (H,W,5), labels (H,W) idx, weights (H,W))."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.models.rangenet import range_image_features
+    from lidar_transfer_tpu.ops import projection as P
+
+    pts, rem, lbl = seq.read(idx)
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+    ri = P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+                         jnp.asarray(m), H=spec.H, W=spec.W,
+                         fov_up_deg=spec.fov_up, fov_down_deg=spec.fov_down)
+    xyz = jnp.where(ri.mask[..., None],
+                    jnp.asarray(p)[jnp.maximum(ri.index, 0)], 0.0)
+    feats = range_image_features(ri.range, xyz, ri.remission, ri.mask)
+    lbl_idx = mapper.to_index(np.asarray(ri.label))
+    weights = np.asarray(ri.mask, np.float32)
+    for ig in mapper.ignore_indices:
+        weights = np.where(lbl_idx == ig, 0.0, weights)
+    return np.asarray(feats), lbl_idx.astype(np.int32), weights
+
+
+def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
+                       batch_size: int = 1, learning_rate: float = 1e-3,
+                       model_cfg=None, cfg=None, seed: int = 0,
+                       width: int | None = None, verbose: bool = True,
+                       use_mesh: bool = True):
+    """Train RangeNet on a KITTI-format dataset. Returns (model, params,
+    mapper, spec)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.models import RangeNet, RangeNetConfig
+    from lidar_transfer_tpu.models.rangenet import make_train_state
+    from lidar_transfer_tpu.parallel import (make_mesh, sharded_train_step)
+
+    cfg = cfg or TransferConfig()
+    spec = SensorSpec.from_yaml(os.path.join(dataset, "config.yaml"))
+    if width is not None:
+        spec = dataclasses.replace(
+            spec, angle_res_hor=spec.fov_hor / width)
+    mapper = LabelMapper.from_labels(dict(cfg.labels),
+                                     ignore_classes=cfg.ignore_classes)
+    model_cfg = model_cfg or RangeNetConfig.darknet21(
+        num_classes=mapper.num_classes)
+    model = RangeNet(model_cfg)
+
+    seqs = [KittiSequence.open(dataset, s) for s in sequences]
+    capacity = kitti.scan_capacity(max(
+        os.path.getsize(f) // 16 for sq in seqs for f in sq.scan_files))
+
+    params, opt_state, tx = make_train_state(
+        model, jax.random.PRNGKey(seed),
+        (1, spec.H, spec.W, model_cfg.input_channels), learning_rate)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if use_mesh and n_dev > 1 and batch_size % max(
+            make_mesh().shape["data"], 1) == 0:
+        mesh = make_mesh()
+        step_fn = sharded_train_step(model, tx, mesh)
+    else:
+        from lidar_transfer_tpu.models.rangenet import train_step
+
+        def step_fn(params, opt_state, batch):
+            return train_step(model, tx, params, opt_state, batch)
+
+    rng = np.random.default_rng(seed)
+    all_frames = [(si, fi) for si, sq in enumerate(seqs)
+                  for fi in range(len(sq))]
+    losses = []
+    for step in range(steps):
+        picks = rng.choice(len(all_frames), size=batch_size, replace=True)
+        fs, ls, ws = [], [], []
+        for k in picks:
+            si, fi = all_frames[k]
+            f, l, w = _frame_tensors(seqs[si], fi, spec, capacity, mapper,
+                                     cfg)
+            fs.append(f)
+            ls.append(l)
+            ws.append(w)
+        batch = dict(features=jnp.asarray(np.stack(fs)),
+                     labels=jnp.asarray(np.stack(ls)),
+                     weights=jnp.asarray(np.stack(ws)))
+        if mesh is not None:
+            batch = {k: jax.device_put(v, NamedSharding(mesh, P_("data")))
+                     for k, v in batch.items()}
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        losses.append(float(loss))
+        if verbose and (step % 10 == 0 or step == steps - 1):
+            print(f"step {step}: loss {float(loss):.4f}")
+    return model, params, mapper, spec
+
+
+def write_predictions(dataset: str, out_root: str, model, params, mapper,
+                      spec, *, sequences=("00",), cfg=None,
+                      verbose: bool = True) -> int:
+    """Run inference over sequences; write semantic-kitti predictions tree.
+
+    Per-POINT labels: each point gets the class of its range-image pixel
+    (the standard RangeNet post-processing without KNN refinement).
+    Returns the number of scans written.
+    """
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.models.rangenet import infer
+    from lidar_transfer_tpu.ops import projection as P
+
+    cfg = cfg or TransferConfig()
+    n = 0
+    for s in sequences:
+        seq = KittiSequence.open(dataset, s, require_labels=False)
+        capacity = kitti.scan_capacity(max(
+            os.path.getsize(f) // 16 for f in seq.scan_files))
+        pred_dir = os.path.join(out_root, "sequences", s, "predictions")
+        os.makedirs(pred_dir, exist_ok=True)
+        for idx in range(len(seq)):
+            pts, rem = kitti.read_scan_file(seq.scan_files[idx])
+            p, r, l, m = kitti.pad_points(
+                pts, rem, np.zeros(pts.shape[0], np.int32), capacity)
+            ri = P.range_project(jnp.asarray(p), jnp.asarray(r),
+                                 jnp.asarray(l), jnp.asarray(m),
+                                 H=spec.H, W=spec.W,
+                                 fov_up_deg=spec.fov_up,
+                                 fov_down_deg=spec.fov_down)
+            xyz = jnp.where(ri.mask[..., None],
+                            jnp.asarray(p)[jnp.maximum(ri.index, 0)], 0.0)
+            from lidar_transfer_tpu.models.rangenet import (
+                range_image_features)
+            feats = range_image_features(ri.range, xyz, ri.remission,
+                                         ri.mask)
+            pred_img = np.asarray(infer(model, params, feats[None]))[0]
+            # per-point lookup through each point's pixel
+            pu = np.asarray(ri.point_u)[:pts.shape[0]]
+            pv = np.asarray(ri.point_v)[:pts.shape[0]]
+            pred_pts = pred_img[pv, pu]
+            raw = mapper.to_raw(pred_pts).astype(np.uint32)
+            raw.tofile(os.path.join(pred_dir, f"{idx:06d}.label"))
+            n += 1
+        if verbose:
+            print(f"sequence {s}: {len(seq)} predictions written")
+    return n
+
+
+def evaluate_semantics(dataset: str, predictions: str, *,
+                       sequences=("00",), cfg=None) -> dict:
+    """Point-wise mIoU/acc of predictions vs ground truth labels.
+
+    ≡ semantic-kitti-api evaluate_semantics.py (driven by the reference's
+    run_*.sh): confusion over all points of all scans, ignore classes
+    masked from the mean.
+    """
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.metrics.ioueval import IoUEval
+
+    cfg = cfg or TransferConfig()
+    mapper = LabelMapper.from_labels(dict(cfg.labels),
+                                     ignore_classes=cfg.ignore_classes)
+    ev = IoUEval(mapper.num_classes, ignore=list(mapper.ignore_indices))
+    n_scans = 0
+    for s in sequences:
+        seq = KittiSequence.open(dataset, s)
+        pred_dir = os.path.join(predictions, "sequences", s, "predictions")
+        for idx in range(len(seq)):
+            _, _, gt = seq.read(idx)
+            pred = kitti.read_label_file(
+                os.path.join(pred_dir, f"{idx:06d}.label"), gt.shape[0])
+            ev.add_batch(mapper.to_index(pred), mapper.to_index(gt))
+            n_scans += 1
+    miou, per_class = ev.get_iou()
+    acc = ev.get_acc()
+    per = {mapper.raw_ids[i]: float(per_class[i])
+           for i in range(mapper.num_classes)
+           if i not in mapper.ignore_indices}
+    return {"miou": float(miou), "acc": float(acc), "scans": n_scans,
+            "iou_per_class": per}
+
+
+def main(argv=None) -> int:
+    import argparse
+    import json
+    import pickle
+
+    p = argparse.ArgumentParser("lt-seg")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--dataset", "-d", required=True)
+    pt.add_argument("--sequences", "-s", nargs="+", default=["00"])
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--batch-size", type=int, default=1)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--tiny", action="store_true",
+                    help="Tiny model (tests/smoke).")
+    pt.add_argument("--out", default="seg_model.pkl")
+    pt.add_argument("--cpu", action="store_true")
+
+    pi = sub.add_parser("infer")
+    pi.add_argument("--dataset", "-d", required=True)
+    pi.add_argument("--sequences", "-s", nargs="+", default=["00"])
+    pi.add_argument("--model", "-m", required=True)
+    pi.add_argument("--out", "-p", required=True)
+    pi.add_argument("--cpu", action="store_true")
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("--dataset", "-d", required=True)
+    pe.add_argument("--sequences", "-s", nargs="+", default=["00"])
+    pe.add_argument("--predictions", "-p", required=True)
+    pe.add_argument("--json", default=None)
+
+    args = p.parse_args(argv)
+    if getattr(args, "cpu", False):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "train":
+        from lidar_transfer_tpu.models import RangeNetConfig
+
+        model_cfg = None
+        if args.tiny:
+            from lidar_transfer_tpu.config import TransferConfig
+            mapper = LabelMapper.from_labels(
+                dict(TransferConfig().labels))
+            model_cfg = RangeNetConfig.tiny(
+                num_classes=mapper.num_classes)
+        model, params, mapper, spec = train_segmentation(
+            args.dataset, sequences=tuple(args.sequences),
+            steps=args.steps, batch_size=args.batch_size,
+            learning_rate=args.lr, model_cfg=model_cfg)
+        with open(args.out, "wb") as f:
+            pickle.dump({"params": params, "mapper": mapper,
+                         "spec": spec, "model_cfg": model.cfg}, f)
+        print(f"model written to {args.out}")
+    elif args.cmd == "infer":
+        from lidar_transfer_tpu.models import RangeNet
+
+        with open(args.model, "rb") as f:
+            blob = pickle.load(f)
+        model = RangeNet(blob["model_cfg"])
+        n = write_predictions(args.dataset, args.out, model,
+                              blob["params"], blob["mapper"], blob["spec"],
+                              sequences=tuple(args.sequences))
+        print(f"{n} scans inferred")
+    else:
+        res = evaluate_semantics(args.dataset, args.predictions,
+                                 sequences=tuple(args.sequences))
+        print(f"mIoU: {res['miou']:.4f}  Acc: {res['acc']:.4f} "
+              f"({res['scans']} scans)")
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(res, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
