@@ -218,4 +218,11 @@ class TransferEngine:
             return self.mergemesh(window)
         if adaption == "mesh":
             return self.mesh(window)
+        if adaption == "catmesh":
+            # parity stub: the reference also only stubs this strategy
+            # (laserscan.py:1014-1019 prints "Not implemented yet" and
+            # quits)
+            raise NotImplementedError(
+                "catmesh adaption is not implemented (stubbed in the "
+                "reference as well)")
         raise ValueError(f"Adaption method not recognized: {adaption!r}")

@@ -168,7 +168,9 @@ def test_writer_roundtrip(tmp_path, synthetic_dataset, small_spec):
 
 
 def test_unknown_adaption_raises(synthetic_dataset, small_spec):
-    cfg = make_cfg(adaption="catmesh")
+    # catmesh is a parity stub (NotImplementedError, see
+    # tests/test_rolling_shutter.py); a truly unknown name is a ValueError
+    cfg = make_cfg(adaption="warpfield")
     seq = KittiSequence.open(synthetic_dataset)
     eng = TransferEngine(small_spec, small_spec, cfg, CAP)
     window = load_window(seq, cfg, 2, CAP)

@@ -1,0 +1,144 @@
+"""Rolling-shutter rays, pose interpolation, per-ray-origin raycast,
+catmesh stub, torch interop."""
+
+import numpy as np
+import pytest
+
+from lidar_transfer_tpu.ops import raycast as RC
+from lidar_transfer_tpu.ops import transforms as T
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    m = np.eye(4)
+    m[:2, :2] = [[c, -s], [s, c]]
+    return m
+
+
+def test_interpolate_pose_endpoints_and_midpoint():
+    p1 = _rot_z(np.pi / 2)
+    p1[:3, 3] = [2.0, 0.0, 1.0]
+    out = T.interpolate_pose(np.eye(4), p1, [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(out[0], np.eye(4), atol=1e-12)
+    np.testing.assert_allclose(out[2], p1, atol=1e-9)
+    mid = out[1]
+    np.testing.assert_allclose(mid[:3, 3], [1.0, 0.0, 0.5], atol=1e-9)
+    np.testing.assert_allclose(mid[:3, :3], _rot_z(np.pi / 4)[:3, :3],
+                               atol=1e-9)
+
+
+def test_quaternion_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(-np.pi, np.pi)
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+        q = T.rotation_to_quaternion(R)
+        np.testing.assert_allclose(T.quaternion_to_rotation(q), R,
+                                   atol=1e-10)
+
+
+def test_rays_moving_identity_matches_static():
+    rays, origins = RC.generate_rays_moving(8, 64, 5.0, -20.0, np.eye(4))
+    static = RC.generate_rays(8, 64, 5.0, -20.0)
+    np.testing.assert_allclose(rays, static, atol=1e-6)
+    np.testing.assert_allclose(origins, 0.0)
+
+
+def test_rays_moving_translation_ramps():
+    pose = np.eye(4)
+    pose[:3, 3] = [1.0, 0.0, 0.0]
+    rays, origins = RC.generate_rays_moving(4, 100, 5.0, -20.0, pose)
+    o = origins.reshape(4, 100, 3)
+    # first fired column at t=0, origins ramp linearly along x, < 1.0
+    np.testing.assert_allclose(o[:, 0], 0.0, atol=1e-12)
+    assert o[0, -1, 0] == pytest.approx(0.99, abs=1e-6)
+    assert np.all(np.diff(o[0, :, 0]) > 0)
+    # directions stay unit under pure translation
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=1), 1.0,
+                               atol=1e-6)
+
+
+def test_raycast_per_ray_origins():
+    """Two rays aimed +x at a wall; per-ray origins shift the hit range."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
+
+    dims = (64, 16, 16)
+    voxel = 0.25
+    spec = VolumeSpec(origin=(0.0, -2.0, -2.0), voxel_size=voxel, dims=dims)
+    gx = np.arange(dims[0])[:, None, None] * voxel  # x coordinate
+    d = 10.0 - gx            # signed distance to wall at x=10 (+ = free)
+    tsdf = np.clip(d / (5 * voxel), -1, 1).astype(np.float32)
+    tsdf = np.broadcast_to(tsdf, dims).copy()
+    state = TSDFState(tsdf=jnp.asarray(tsdf),
+                      weight=jnp.ones(dims, jnp.float32),
+                      label=jnp.full(dims, 9, jnp.int32),
+                      rem=jnp.zeros(dims, jnp.float32))
+    rays = jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32)
+    origins = jnp.asarray([[0.5, 0, 0], [3.0, 0, 0]], jnp.float32)
+    res = RC.raycast_tsdf(state, spec, rays, origins, H=1, W=2)
+    r = np.asarray(res.range).reshape(-1)
+    assert res.hit.all()
+    assert r[0] == pytest.approx(9.5, abs=0.3)
+    assert r[1] == pytest.approx(7.0, abs=0.3)
+    # ranges differ by exactly the origin shift
+    assert (r[0] - r[1]) == pytest.approx(2.5, abs=0.05)
+
+
+def test_catmesh_stub(synthetic_dataset, small_spec):
+    import dataclasses
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="catmesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192)
+    window = load_window(seq, cfg, 0, 8192)
+    with pytest.raises(NotImplementedError):
+        eng.transfer(window)
+    with pytest.raises(ValueError):
+        eng2 = TransferEngine(small_spec, small_spec,
+                              dataclasses.replace(cfg, adaption="bogus"),
+                              8192)
+        eng2.transfer(window)
+
+
+def test_torch_interop(synthetic_dataset, small_spec):
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.utils.torch_interop import (
+        features_to_torch, range_image_to_torch)
+
+    seq = KittiSequence.open(synthetic_dataset)
+    pts, rem, lbl = seq.read(0)
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, 8192)
+    ri = P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+                         jnp.asarray(m), H=small_spec.H, W=small_spec.W,
+                         fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    t = range_image_to_torch(ri)
+    assert t["proj_range"].dtype == torch.float32
+    assert t["proj_idx"].dtype == torch.int64
+    assert t["proj_range"].shape == (small_spec.H, small_spec.W)
+    np.testing.assert_allclose(t["proj_range"].numpy(),
+                               np.asarray(ri.range))
+
+    from lidar_transfer_tpu.models.rangenet import range_image_features
+    xyz = jnp.zeros((small_spec.H, small_spec.W, 3))
+    feats = range_image_features(ri.range, xyz, ri.remission, ri.mask)
+    ft = features_to_torch(feats)
+    assert ft.shape == (5, small_spec.H, small_spec.W)
