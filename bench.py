@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--nscans", type=int, default=1)
+    ap.add_argument("--bounds", type=float, default=50.0,
+                    help="Half-extent of the xy voxel bounds in meters "
+                         "(50 = the reference's config/lidar_transfer.yaml "
+                         "operating point).")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="f32 volumes instead of the 8 B/voxel compact "
+                         "layout (needs small --bounds to fit HBM).")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -51,14 +58,22 @@ def main():
     from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
 
     log(f"devices: {jax.devices()}")
+    # warm the device->host transfer path NOW: the first transfer in a
+    # process can take minutes through the axon tunnel (it compiles/warms a
+    # transfer program); do it on a tiny buffer before anything is timed
+    t0 = time.time()
+    np.asarray(jnp.zeros((8, 128), jnp.float32))
+    np.asarray(jnp.zeros((8, 128), bool))
+    log(f"transfer-path warmup: {time.time()-t0:.1f}s")
 
     source = HDL64
     target = SensorSpec(name="HDL32-like", beams=32, fov_up=3.0,
                         fov_down=-25.0, angle_res_hor=360.0 / 2048.0)
+    b = args.bounds
     cfg = TransferConfig(
         adaption="mergemesh", number_of_scans=args.nscans,
         voxel_size=args.voxel,
-        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+        voxel_bounds=((-b, b), (-b, b), (-5.0, 5.0)))
 
     # synthetic scans at slightly different poses (static shapes: capacity
     # fits the 64x2048 = 131k max return count)
@@ -87,7 +102,8 @@ def main():
     log(f"window: {window.nscans} scans x {cap} capacity, "
         f"{int(np.stack(val_l).sum())} real points")
 
-    eng = TransferEngine(source, target, cfg, cap, fixed_bounds=True)
+    eng = TransferEngine(source, target, cfg, cap, fixed_bounds=True,
+                         compact_volume=not args.no_compact)
     log(f"volume dims {eng.vol_dims} "
         f"({np.prod(eng.vol_dims)/1e6:.1f}M voxels)")
 
@@ -112,11 +128,12 @@ def main():
     rays = target.H * target.W
     log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s, "
         f"{scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
-        f"hit rate {float(vs.mask.mean()):.3f}")
+        f"hit rate {np.asarray(vs.mask).mean():.3f}")
 
     print(json.dumps({
         "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, mergemesh, "
-                  f"voxel {args.voxel}m, nscans {args.nscans})",
+                  f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
+                  f"nscans {args.nscans})",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / 50.0, 3),

@@ -122,14 +122,17 @@ def occupancy_grid(tsdf: jax.Array, block: int = 4) -> jax.Array:
     see ops/tsdf.py). Dilation guarantees rays switch to fine stepping at
     least one block before any surface band.
     """
-    X, Y, Z = tsdf.shape
-    # pad up to block multiples
-    px, py, pz = (-X) % block, (-Y) % block, (-Z) % block
-    touched = (tsdf < 0.9999).astype(jnp.float32)
-    touched = jnp.pad(touched, ((0, px), (0, py), (0, pz)))
-    cx, cy, cz = touched.shape
-    coarse = touched.reshape(cx // block, block, cy // block, block,
-                             cz // block, block).max(axis=(1, 3, 5))
+    # blockwise any() via reduce_window — NOT a 6D reshape-max: XLA's tiled
+    # (8,128) layout pads the tiny minor dims of the 6D view catastrophically
+    # (a 2048^2x208 volume ballooned to >100 GB of padded reshape output)
+    touched = (tsdf.astype(jnp.float32) < 0.9999).astype(jnp.bfloat16)
+    coarse = jax.lax.reduce_window(
+        touched, jnp.bfloat16(0), jax.lax.max,
+        window_dimensions=(block, block, block),
+        window_strides=(block, block, block),
+        padding=[(0, (-tsdf.shape[0]) % block),
+                 (0, (-tsdf.shape[1]) % block),
+                 (0, (-tsdf.shape[2]) % block)])
     # dilate with a 3^3 max (one coarse cell in every direction)
     coarse = jnp.pad(coarse, 1)
     dil = coarse
@@ -139,6 +142,47 @@ def occupancy_grid(tsdf: jax.Array, block: int = 4) -> jax.Array:
         dil = jnp.maximum(dil, jnp.maximum(a, b))
         coarse = dil
     return (dil[1:-1, 1:-1, 1:-1] > 0)
+
+
+def occupancy_from_points(points: jax.Array, valid: jax.Array,
+                          vol_origin, spec: VolumeSpec, block: int = 4,
+                          dilate_cells: int | None = None) -> jax.Array:
+    """Coarse occupancy directly from the surface points (O(points), not
+    O(voxels)).
+
+    The class-aware integrate only writes voxels within the truncation
+    band *behind* surface points (ops/tsdf.py parity notes), so every
+    touched voxel lies within trunc_margin of some scan point along its
+    ray. Marking the coarse cells containing the points and dilating by
+    ceil(trunc/block)+1 cells therefore covers all touched voxels plus a
+    one-cell fine-stepping margin — without scanning the full volume
+    (872M-voxel volumes took ~76 ms/frame to scan; this is ~1 ms).
+    """
+    X, Y, Z = spec.dims
+    cx = -(-X // block)
+    cy = -(-Y // block)
+    cz = -(-Z // block)
+    if dilate_cells is None:
+        trunc_voxels = spec.trunc_margin / spec.voxel_size   # = 5
+        dilate_cells = int(np.ceil(trunc_voxels / block)) + 1
+
+    cell = spec.voxel_size * block
+    g = (points - jnp.asarray(vol_origin, jnp.float32)[None, :]) / cell
+    gi = jnp.floor(g).astype(jnp.int32)
+    inside = (valid & (gi[:, 0] >= 0) & (gi[:, 0] < cx) &
+              (gi[:, 1] >= 0) & (gi[:, 1] < cy) &
+              (gi[:, 2] >= 0) & (gi[:, 2] < cz))
+    n_cells = cx * cy * cz
+    flat = jnp.where(inside, (gi[:, 0] * cy + gi[:, 1]) * cz + gi[:, 2],
+                     n_cells)
+    occ = jnp.zeros((n_cells + 1,), bool).at[flat].set(
+        True, mode="drop")[:n_cells].reshape(cx, cy, cz)
+    for _ in range(dilate_cells):
+        d = occ
+        for axis in range(3):
+            d = d | jnp.roll(occ, 1, axis) | jnp.roll(occ, -1, axis)
+            occ = d
+    return occ
 
 
 def _box_exit_t(origin, dirs, lo, hi):
@@ -303,8 +347,10 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
     hit_t = jnp.where(hit & bracket_ok, refined, s["hit_t"])
 
     rng_out = jnp.where(hit, hit_t, 0.0)
-    lbl_out = jnp.where(hit, label_f[s["hit_flat"]], 0)
-    rem_out = jnp.where(hit, rem_f[s["hit_flat"]], 0.0)
+    # storage dtypes may be compact (int16 labels / bf16 rem); results are
+    # always i32 / f32
+    lbl_out = jnp.where(hit, label_f[s["hit_flat"]].astype(jnp.int32), 0)
+    rem_out = jnp.where(hit, rem_f[s["hit_flat"]].astype(jnp.float32), 0.0)
     ends = jnp.where(hit[:, None], origin + rays * rng_out[:, None],
                      0.0)
     return rng_out, lbl_out, rem_out, ends, hit

@@ -1,0 +1,206 @@
+"""Virtual-scan synthesis by truncation-band splatting (JAX, gather-light).
+
+Second synthesis engine beside the TSDF raymarcher (ops/raycast.py). The
+marcher advances all rays in a lockstep ``while_loop`` with one volume
+gather per step — hundreds of sequential gathers per frame. XLA:TPU's
+gather lowering proved compile-nondeterministic at production scale
+(metrics/confusion.py documents the probes), so the marcher's worst case
+is seconds per frame. This engine restructures synthesis so the gather
+count is tiny and fixed:
+
+  1. every *source* range-image pixel spawns K samples along its ray
+     through the truncation band behind the surface — by construction
+     exactly the voxels the class-aware integrate wrote
+     (ops/tsdf.py parity notes; K = trunc/voxel = 5);
+  2. sample attributes (tsdf, label, remission) are fetched from the
+     fused volume — ~K x H x W gathers total, once per frame, not per
+     marching step;
+  3. all samples are z-buffered into the TARGET image with the same
+     scatter-min projection op the rest of the framework uses
+     (ops/projection.range_project) — the TPU-fast segment_min path;
+  4. the winning sample's stored TSDF value converts its depth to the
+     zero-crossing depth: the sensor sits at the origin of both the
+     source and target spherical grids, so the sample lies ON its target
+     ray and ``t_surface = t_sample + tsdf * trunc_margin`` exactly.
+
+Equivalence to the raymarcher: both locate the +1 -> negative crossing of
+the same volume; the splat finds it from behind (band samples) and
+corrects by the stored distance; validated against the raymarcher and the
+native mesh oracle in tests/test_splat.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lidar_transfer_tpu.ops import projection as P
+from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "samples_per_ray"))
+def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
+                        valid_flat, vol_origin, active_dims, dims,
+                        voxel_size, samples_per_ray):
+    """Image-attributed band samples: zero volume gathers.
+
+    Valid ONLY when a single image was fused (mergemesh): every band voxel
+    was written by exactly this image, so each sample's tsdf is the known
+    per-step distance -(k+0.5)*step/trunc and label/remission are its
+    pixel's. (With multiple fused images the volume's class-aware blending
+    can differ at collisions — use ``_band_samples`` then.)
+    """
+    X, Y, Z = dims
+    K = samples_per_ray
+    vox = jnp.float32(voxel_size)
+    trunc = vox * 5.0
+
+    safe_rng = jnp.maximum(rng_flat, 1e-6)
+    dirs = pts_flat / safe_rng[:, None]
+    k = (jnp.arange(K, dtype=jnp.float32) + 0.5) * (vox * 0.5)
+    t = rng_flat[None, :] + k[:, None]
+    pos = (dirs[None, :, :] * t[..., None]).reshape(-1, 3)
+    t = t.reshape(-1)
+    HW = rng_flat.shape[0]
+    valid = jnp.broadcast_to(valid_flat[None, :], (K, HW)).reshape(-1)
+
+    g = (pos - vol_origin[None, :]) / vox
+    gi = jnp.round(g).astype(jnp.int32)
+    inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_dims[0]) &
+              (gi[:, 1] >= 0) & (gi[:, 1] < active_dims[1]) &
+              (gi[:, 2] >= 0) & (gi[:, 2] < active_dims[2]))
+
+    tsdf_v = jnp.broadcast_to((-k / trunc)[:, None], (K, HW)).reshape(-1)
+    label_v = jnp.broadcast_to(label_flat[None, :], (K, HW)).reshape(-1)
+    rem_v = jnp.broadcast_to(rem_flat[None, :], (K, HW)).reshape(-1)
+    valid = valid & inside & (label_v > 0)
+    return pos, t, tsdf_v, label_v.astype(jnp.int32), rem_v, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "samples_per_ray"))
+def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
+                  vol_origin, active_dims, dims, voxel_size,
+                  samples_per_ray):
+    """Per source pixel: K positions through the band + volume attributes.
+
+    Returns flat arrays of length K * HW: positions (N,3), depth (N,),
+    tsdf value, label, remission, valid mask.
+    """
+    X, Y, Z = dims
+    K = samples_per_ray
+    vox = jnp.float32(voxel_size)
+
+    safe_rng = jnp.maximum(rng_flat, 1e-6)
+    dirs = pts_flat / safe_rng[:, None]                      # unit rays
+
+    # half-voxel spacing through the band behind the surface: at grazing
+    # incidence the written carpet is thinner than one voxel normal to the
+    # surface, so coarse sampling walks right past its corners
+    k = (jnp.arange(K, dtype=jnp.float32) + 0.5) * (vox * 0.5)
+    t = rng_flat[None, :] + k[:, None]                       # (K, HW)
+    pos = dirs[None, :, :] * t[..., None]                    # (K, HW, 3)
+
+    pos = pos.reshape(-1, 3)
+    t = t.reshape(-1)
+    valid = jnp.broadcast_to(valid_flat[None, :],
+                             (K, valid_flat.shape[0])).reshape(-1)
+
+    g = (pos - vol_origin[None, :]) / vox
+    # NEAREST corner, not floor: integrate evaluates voxel values at grid
+    # corners (origin + i*vox), so round() reads the closest value sample —
+    # floor() systematically reads one corner below/behind thin bands
+    gi = jnp.round(g).astype(jnp.int32)
+    inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_dims[0]) &
+              (gi[:, 1] >= 0) & (gi[:, 1] < active_dims[1]) &
+              (gi[:, 2] >= 0) & (gi[:, 2] < active_dims[2]))
+    gic = jnp.clip(gi, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+    flat = (gic[:, 0] * Y + gic[:, 1]) * Z + gic[:, 2]
+
+    tsdf_v = tsdf.reshape(-1)[flat].astype(jnp.float32)
+    label_v = label.reshape(-1)[flat].astype(jnp.int32)
+    rem_v = rem.reshape(-1)[flat].astype(jnp.float32)
+
+    # a usable sample: inside the (cropped) volume, in the written band
+    # (tsdf <= 0 — integrate only writes dist<0 voxels on first touch),
+    # and carrying a real label
+    valid = valid & inside & (tsdf_v <= 0.0) & (label_v > 0)
+    return pos, t, tsdf_v, label_v, rem_v, valid
+
+
+def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
+                     target_H: int, target_W: int,
+                     fov_up_deg: float, fov_down_deg: float,
+                     vol_origin, active_dims=None, beam_angles=None,
+                     samples_per_ray: int = 12, attrs: str = "auto"):
+    """Synthesize a target-spec virtual scan from the fused volume.
+
+    Args:
+      sources: list of (range_flat (HW,), points_flat (HW,3), valid (HW,),
+        label_flat (HW,), rem_flat (HW,)) per integrated source image —
+        the band is seeded from every image that was fused (one for
+        mergemesh, nscans for mesh).
+      target_*: target sensor grid/fov.
+      vol_origin / active_dims: the volume placement used at integrate.
+      attrs: "volume" gathers sample attributes from the fused volume
+        (exact class-aware semantics); "image" derives them from the
+        source pixel (zero volume gathers — exact when a single image was
+        fused); "auto" picks image iff len(sources) == 1.
+
+    Returns a RangeImage-like tuple:
+      (range (H,W), label (H,W), remission (H,W), endpoints (H,W,3),
+       mask (H,W)).
+    """
+    if active_dims is None:
+        active_dims = jnp.asarray(spec.dims, jnp.int32)
+    vol_origin = jnp.asarray(vol_origin, jnp.float32)
+    active_f = jnp.asarray(active_dims, jnp.float32)
+    if attrs == "auto":
+        attrs = "image" if len(sources) == 1 else "volume"
+
+    if attrs == "image":
+        parts = [
+            _band_samples_image(lf, rf, r, p, v, vol_origin, active_f,
+                                dims=spec.dims,
+                                voxel_size=spec.voxel_size,
+                                samples_per_ray=samples_per_ray)
+            for (r, p, v, lf, rf) in sources
+        ]
+    else:
+        parts = [
+            _band_samples(state.tsdf, state.label, state.rem, r, p, v,
+                          vol_origin, active_f, dims=spec.dims,
+                          voxel_size=spec.voxel_size,
+                          samples_per_ray=samples_per_ray)
+            for (r, p, v, _, _) in sources
+        ]
+    pos = jnp.concatenate([a[0] for a in parts])
+    tsdf_v = jnp.concatenate([a[2] for a in parts])
+    label_v = jnp.concatenate([a[3] for a in parts])
+    rem_v = jnp.concatenate([a[4] for a in parts])
+    valid = jnp.concatenate([a[5] for a in parts])
+
+    ri = P.range_project(pos, rem_v, label_v, valid,
+                         H=target_H, W=target_W,
+                         fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
+                         beam_angles=beam_angles)
+
+    # zero-crossing correction along the (co-centered) target ray:
+    # t_surface = t_sample + tsdf * trunc  (tsdf <= 0 pulls toward sensor)
+    win = jnp.maximum(ri.index, 0).reshape(-1)
+    tsdf_win = tsdf_v[win].reshape(target_H, target_W)
+    rng = jnp.where(ri.mask,
+                    jnp.maximum(ri.range + tsdf_win * spec.trunc_margin,
+                                0.0),
+                    0.0)
+    scale = jnp.where(ri.range > 0, rng / jnp.maximum(ri.range, 1e-6), 0.0)
+    endpoints = (pos[win].reshape(target_H, target_W, 3)
+                 * scale[..., None])
+    return (rng, jnp.where(ri.mask, ri.label, 0),
+            jnp.where(ri.mask, jnp.maximum(ri.remission, 0.0), 0.0),
+            endpoints, ri.mask)

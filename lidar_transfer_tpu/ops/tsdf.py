@@ -98,14 +98,34 @@ class VolumeSpec:
     def world_min(self) -> np.ndarray:
         return np.asarray(self.origin, np.float32)
 
-    def init_state(self, tsdf_dtype=jnp.float32) -> TSDFState:
+    def init_state(self, tsdf_dtype=jnp.float32, weight_dtype=None,
+                   label_dtype=None, rem_dtype=None) -> TSDFState:
+        """Fresh volume state. Pass ``compact=`` dtypes for big volumes.
+
+        The reference's CUDA volumes are 4x float32 = 16 B/voxel, which
+        caps the volume size it can fuse (the split-volume TODO at
+        fusion_lidar.py:45). ``init_state_compact`` stores 8 B/voxel:
+        bf16 tsdf (dist in [-1,1]; ~0.4% quantization ≪ LiDAR noise),
+        bf16 weight (obs counts, exact to 256), int16 labels
+        (SemanticKITTI ids ≤ 259... int16 max 32767), bf16 remission —
+        halving both HBM footprint and integrate/raycast traffic. All
+        compute stays f32; only storage narrows.
+        """
         d = self.dims
         return TSDFState(
             tsdf=jnp.ones(d, tsdf_dtype),
-            weight=jnp.zeros(d, jnp.float32),
-            label=jnp.zeros(d, jnp.int32),
-            rem=jnp.zeros(d, jnp.float32),
+            weight=jnp.zeros(d, weight_dtype or jnp.float32),
+            label=jnp.zeros(d, label_dtype or jnp.int32),
+            rem=jnp.zeros(d, rem_dtype or jnp.float32),
         )
+
+    def init_state_compact(self) -> TSDFState:
+        """8 B/voxel state for reference-scale volumes (±50 m @ 0.05 m =
+        800M voxels = 6.4 GB; the f32 layout would need 12.8 GB)."""
+        return self.init_state(tsdf_dtype=jnp.bfloat16,
+                               weight_dtype=jnp.bfloat16,
+                               label_dtype=jnp.int16,
+                               rem_dtype=jnp.bfloat16)
 
 
 def clip_bounds_to_cloud(config_bounds: np.ndarray, points: np.ndarray,
@@ -125,23 +145,25 @@ def clip_bounds_to_cloud(config_bounds: np.ndarray, points: np.ndarray,
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("dims", "voxel_size"),
-    donate_argnums=(0,))
-def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
-                    fov_up_deg, fov_down_deg, obs_weight,
-                    origin, active_dims, dims, voxel_size):
-    # origin and active_dims are *dynamic* operands: per-frame volume
-    # placement/cropping must not trigger recompiles (dims are bucketed
-    # static shapes; voxels beyond active_dims are masked off so a bucketed
-    # volume behaves exactly like the reference's exact-size volume).
+def _integrate_block(state_block: TSDFState, depth_im, label_im, rem_im,
+                     fov_up_deg, fov_down_deg, obs_weight,
+                     origin, active_dims, x_offset, dims, voxel_size,
+                     reset=False):
+    """Class-aware update of one X-slab of the volume (pure function).
+
+    ``x_offset`` shifts the slab's grid-x coordinates; full-volume callers
+    pass 0, the chunked path passes the slab start so per-iteration
+    temporaries stay slab-sized (full reference-scale volumes — 872M
+    voxels — would otherwise materialize ~10 GB of f32 compute temps and
+    OOM a 16 GB chip).
+    """
     X, Y, Z = dims
     H, W = depth_im.shape
 
     # voxel corner world coords (reference samples corners too,
     # fusion_lidar.py:100-104); iota must be >=2D on TPU
-    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    gx = (jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+          + x_offset.astype(jnp.float32))
     gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
     gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
     px_w = origin[0] + gx * voxel_size
@@ -181,37 +203,115 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
                (gz < active_dims[2]))
     active = in_crop & in_fov & (depth_val > 0) & (depth_diff >= -trunc)
 
-    tsdf, weight, label, rem = state
-    tsdf_f = tsdf.astype(jnp.float32)
+    tsdf, weight, label, rem = state_block
+    # compute in f32 regardless of the storage dtypes (compact volumes
+    # store bf16/int16 — see VolumeSpec.init_state_compact)
+    if reset:
+        # fuse the re-initialization into the first integrate of a frame:
+        # prior state is the init constants, so the donated buffers are
+        # only WRITTEN — no state read, no 7 GB alloc/free churn per frame
+        # (allocating a fresh reference-scale volume every frame thrashes
+        # the allocator)
+        tsdf_f = jnp.float32(1.0)
+        weight_f = jnp.float32(0.0)
+        rem_f = jnp.float32(0.0)
+        label_i = jnp.int32(0)
+    else:
+        tsdf_f = tsdf.astype(jnp.float32)
+        weight_f = weight.astype(jnp.float32)
+        rem_f = rem.astype(jnp.float32)
+        label_i = label.astype(jnp.int32)
 
-    same_class = label == new_label
+    same_class = label_i == new_label
     # same-class branch (kernel :202-212): weighted cumulative average
-    w_new = weight + obs_weight
-    tsdf_avg = (tsdf_f * weight + dist) / w_new
-    rem_avg = (rem * weight + new_rem) / w_new
+    w_new = weight_f + obs_weight
+    tsdf_avg = (tsdf_f * weight_f + dist) / w_new
+    rem_avg = (rem_f * weight_f + new_rem) / w_new
 
     # different-class branch (kernel :213-227): overwrite iff dist < dist_old
     # where dist_old IS the weight value (reference quirk, kernel :198)
-    closer = dist < weight
+    closer = dist < weight_f
 
     upd_same = active & same_class
     upd_diff = active & ~same_class & closer
 
     new_tsdf = jnp.where(upd_same, tsdf_avg,
                          jnp.where(upd_diff, dist, tsdf_f))
-    new_weight = jnp.where(upd_same, w_new, weight)
-    new_label_out = jnp.where(upd_diff, new_label, label)
+    new_weight = jnp.where(upd_same, w_new, weight_f)
+    new_label_out = jnp.where(upd_diff, new_label, label_i)
     new_rem_out = jnp.where(upd_same, rem_avg,
-                            jnp.where(upd_diff, new_rem, rem))
+                            jnp.where(upd_diff, new_rem, rem_f))
 
-    return TSDFState(tsdf=new_tsdf.astype(tsdf.dtype), weight=new_weight,
-                     label=new_label_out, rem=new_rem_out)
+    new_tsdf = jnp.broadcast_to(new_tsdf, dims)
+    new_weight = jnp.broadcast_to(new_weight, dims)
+    new_label_out = jnp.broadcast_to(new_label_out, dims)
+    new_rem_out = jnp.broadcast_to(new_rem_out, dims)
+    return TSDFState(tsdf=new_tsdf.astype(tsdf.dtype),
+                     weight=new_weight.astype(weight.dtype),
+                     label=new_label_out.astype(label.dtype),
+                     rem=new_rem_out.astype(rem.dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "x_chunk", "reset"),
+    donate_argnums=(0,))
+def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
+                    fov_up_deg, fov_down_deg, obs_weight,
+                    origin, active_dims, dims, voxel_size,
+                    x_chunk=None, reset=False):
+    # origin and active_dims are *dynamic* operands: per-frame volume
+    # placement/cropping must not trigger recompiles (dims are bucketed
+    # static shapes; voxels beyond active_dims are masked off so a bucketed
+    # volume behaves exactly like the reference's exact-size volume).
+    X, Y, Z = dims
+    args = (depth_im, label_im, rem_im, fov_up_deg, fov_down_deg,
+            obs_weight, origin, active_dims)
+
+    if x_chunk is None or x_chunk >= X:
+        return _integrate_block(state, *args,
+                                x_offset=jnp.int32(0), dims=dims,
+                                voxel_size=voxel_size, reset=reset)
+
+    # chunked path: bound temporaries to one X-slab. The loop is STATICALLY
+    # unrolled with static slice offsets — a fori_loop over
+    # dynamic_slice/dynamic_update_slice compiled nondeterministically on
+    # the remote TPU compiler (same HLO: one compile ran the 872M-voxel
+    # volume in ~5 ms, a later cache-miss recompile took 22.9 s); static
+    # update-slices are reliably done in place on the donated buffers.
+    offsets = list(range(0, X, x_chunk))
+    for x0 in offsets:
+        size = min(x_chunk, X - x0)
+        block = TSDFState(*(
+            jax.lax.slice_in_dim(a, x0, x0 + size, axis=0) for a in state))
+        out = _integrate_block(block, *args,
+                               x_offset=jnp.int32(x0),
+                               dims=(size, Y, Z), voxel_size=voxel_size,
+                               reset=reset)
+        state = TSDFState(*(
+            jax.lax.dynamic_update_slice_in_dim(a, b, x0, 0)
+            for a, b in zip(state, out)))
+    return state
+
+
+def auto_x_chunk(dims: tuple[int, int, int],
+                 slab_voxels: int = 1 << 26) -> int | None:
+    """Pick an X-slab size bounding per-iteration temporaries (~64M voxels
+    => ~768 MB of f32 compute temps). None = single shot (small volumes)."""
+    X, Y, Z = dims
+    if X * Y * Z <= slab_voxels:
+        return None
+    per_x = Y * Z
+    chunk = max(8, (slab_voxels // per_x) // 8 * 8)   # sublane-aligned
+    return int(min(chunk, X))
 
 
 def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
               label_im: jax.Array, rem_im: jax.Array, *,
               fov_up_deg, fov_down_deg, obs_weight: float = 1.0,
-              origin=None, active_dims=None) -> TSDFState:
+              origin=None, active_dims=None,
+              x_chunk: int | None = "auto", reset: bool = False
+              ) -> TSDFState:
     """Fuse one range image into the volume (class-aware rule; see module
     docstring). Donates ``state`` for in-place HBM update.
 
@@ -230,13 +330,16 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
         origin = jnp.asarray(spec.origin, jnp.float32)
     if active_dims is None:
         active_dims = jnp.asarray(spec.dims, jnp.int32)
+    if x_chunk == "auto":
+        x_chunk = auto_x_chunk(spec.dims)
     return _integrate_impl(
         state, depth_im, label_im.astype(jnp.int32), rem_im,
         jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
         jnp.float32(obs_weight),
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(active_dims, jnp.float32),
-        dims=spec.dims, voxel_size=spec.voxel_size)
+        dims=spec.dims, voxel_size=spec.voxel_size, x_chunk=x_chunk,
+        reset=reset)
 
 
 def integrate_reference_numpy(tsdf, weight, label, rem, spec: VolumeSpec,

@@ -77,6 +77,19 @@ class TransferEngine:
     # TPU where the bucketed volume easily fits HBM; False reproduces the
     # reference's per-frame clipped bounds (laserscan.py:957-962).
     fixed_bounds: bool = False
+    # 8 B/voxel storage (bf16 tsdf/weight/rem, int16 labels) — required for
+    # reference-scale volumes (±50 m @ 0.05 m = 800M voxels) on one chip;
+    # see VolumeSpec.init_state_compact
+    compact_volume: bool = False
+    # "splat" (default): truncation-band splatting (ops/splat.py) — fixed,
+    # tiny gather count, robust against XLA:TPU's compile-nondeterministic
+    # gather lowering. "raymarch": the lockstep TSDF marcher
+    # (ops/raycast.py), kept for validation and sensor origins other than
+    # the volume-frame origin.
+    synthesis: str = "splat"
+    # None = auto: the Pallas integrate kernel (ops/tsdf_pallas.py) on TPU
+    # when the volume shape supports it, XLA integrate elsewhere
+    use_pallas_integrate: bool | None = None
 
     def __post_init__(self):
         t = self.target
@@ -93,11 +106,19 @@ class TransferEngine:
         self.s_beam_angles = (jnp.asarray(sba, jnp.float32)
                               if sba is not None else None)
         # static bucketed volume shape from config bounds (upper bound of
-        # any per-frame clipped volume)
+        # any per-frame clipped volume). Z buckets to 128 when the Pallas
+        # integrate is eligible (its in-place aliasing needs a 128-multiple
+        # minor dim — tiled layouts with padded minors can't alias the
+        # kernel's dense buffers).
+        import jax as _jax
+
         vb = self.cfg.voxel_bounds_array
         full_dims = np.ceil((vb[:, 1] - vb[:, 0]) /
                             self.cfg.voxel_size).astype(int)
-        self.vol_dims = bucket_dims(full_dims)
+        self._tpu = _jax.default_backend() == "tpu"
+        zmult = 128 if (self._tpu and
+                        self.use_pallas_integrate is not False) else 16
+        self.vol_dims = bucket_dims(full_dims, multiple=(64, 64, zmult))
         self.vol_spec = TS.VolumeSpec(
             origin=tuple(float(v) for v in vb[:, 0]),
             voxel_size=float(self.cfg.voxel_size),
@@ -123,6 +144,27 @@ class TransferEngine:
         return vs, ri
 
     # ------------------------------------------------- shared mesh helpers
+    def _take_state(self):
+        """Resident volume buffers, recycled across frames.
+
+        Allocating a fresh reference-scale volume (7 GB compact) every
+        frame churns the allocator (measured: seconds/frame through the
+        axon runtime once memory pressure builds). Instead the engine owns
+        ONE set of buffers; each frame's first integrate runs with
+        ``reset=True`` (state read replaced by the init constants, so the
+        donated buffers are only written) and the result is handed back
+        via ``_keep_state`` after the raycast.
+        """
+        state = getattr(self, "_vol_state", None)
+        if state is None:
+            state = (self.vol_spec.init_state_compact()
+                     if self.compact_volume else self.vol_spec.init_state())
+        self._vol_state = None          # consumed (donated) until returned
+        return state
+
+    def _keep_state(self, state):
+        self._vol_state = state
+
     def _frame_volume(self, pts, valid):
         """Per-frame clipped+bucketed volume placement (host sync for the
         cloud bounding box only — 6 floats)."""
@@ -146,10 +188,67 @@ class TransferEngine:
         active = jnp.asarray(exact_dims, jnp.int32)
         return origin, active
 
-    def _raycast(self, state: TS.TSDFState, origin_vol) -> VirtualScan:
+    def _integrate(self, state, ri, fov_up, fov_down, origin, active,
+                   reset):
+        use_pallas = self.use_pallas_integrate
+        if use_pallas is None:
+            from lidar_transfer_tpu.ops import tsdf_pallas as TP
+
+            use_pallas = (self._tpu and self.vol_dims[2] % 128 == 0
+                          and TP.supports(self.vol_spec, ri.range.shape[0]))
+        if use_pallas:
+            from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas
+
+            return integrate_pallas(
+                state, self.vol_spec, ri.range, ri.label, ri.remission,
+                fov_up_deg=fov_up, fov_down_deg=fov_down,
+                origin=origin, active_dims=active, reset=reset)
+        return TS.integrate(
+            state, self.vol_spec, ri.range, ri.label, ri.remission,
+            fov_up_deg=fov_up, fov_down_deg=fov_down,
+            origin=origin, active_dims=active, reset=reset)
+
+    def _synthesize(self, state, origin_vol, active, sources,
+                    pts, valid) -> VirtualScan:
+        """Dispatch to band splatting or the TSDF raymarcher.
+
+        sources: list of (range_image, fov_up, fov_down) that were fused.
+        """
+        if self.synthesis == "splat":
+            from lidar_transfer_tpu.ops.splat import splat_synthesize
+
+            srcs = []
+            for ri, fu, fd in sources:
+                back = P.reverse_project(ri, fov_up_deg=fu,
+                                         fov_down_deg=fd,
+                                         preserve_float=True)
+                srcs.append((ri.range.reshape(-1), back,
+                             ri.mask.reshape(-1), ri.label.reshape(-1),
+                             jnp.maximum(ri.remission, 0.0).reshape(-1)))
+            rng, lbl, rem, ends, mask = splat_synthesize(
+                state, self.vol_spec, srcs,
+                target_H=self.target.H, target_W=self.target.W,
+                fov_up_deg=self.target.fov_up,
+                fov_down_deg=self.target.fov_down,
+                vol_origin=origin_vol, active_dims=active,
+                beam_angles=self.t_beam_angles)
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask, adaption="mesh")
+        return self._raycast(state, origin_vol, pts, valid)
+
+    def _raycast(self, state: TS.TSDFState, origin_vol, pts, valid
+                 ) -> VirtualScan:
+        # occupancy from the scan points (O(points)) — the volume-scan
+        # variant costs ~76 ms/frame at reference-scale volumes; the
+        # 2-voxel fine step is safe because the carve-only TSDF's negative
+        # band is >= trunc (5 voxels) thick along any ray, and the
+        # trilinear bisection refinement recovers sub-voxel range accuracy
+        occ = RC.occupancy_from_points(pts, valid, origin_vol,
+                                       self.vol_spec)
         res = RC.raycast_tsdf(
             state, self.vol_spec, self.rays, jnp.zeros(3, jnp.float32),
-            self.target.H, self.target.W, vol_origin=origin_vol)
+            self.target.H, self.target.W, occ=occ, fine_step=2.0,
+            vol_origin=origin_vol)
         return VirtualScan(
             range=res.range, label=res.label, remission=res.remission,
             points=res.endpoints, mask=res.hit, adaption="mesh")
@@ -169,13 +268,13 @@ class TransferEngine:
             fov_up_deg=self.target.fov_up, fov_down_deg=self.target.fov_down,
             beam_angles=self.s_beam_angles)
         origin, active = self._frame_volume(pts, valid)
-        state = self.vol_spec.init_state()
-        state = TS.integrate(
-            state, self.vol_spec, ri.range, ri.label, ri.remission,
-            fov_up_deg=self.target.fov_up,
-            fov_down_deg=self.target.fov_down,
-            origin=origin, active_dims=active)
-        vs = self._raycast(state, origin)
+        state = self._integrate(self._take_state(), ri,
+                                self.target.fov_up, self.target.fov_down,
+                                origin, active, reset=True)
+        vs = self._synthesize(
+            state, origin, active,
+            [(ri, self.target.fov_up, self.target.fov_down)], pts, valid)
+        self._keep_state(state)
         return vs._replace(adaption="mergemesh"), ri
 
     # ---------------------------------------------------------------- mesh
@@ -189,8 +288,9 @@ class TransferEngine:
         flat_valid = window.valid.reshape(-1)
         origin, active = self._frame_volume(flat_pts, flat_valid)
 
-        state = self.vol_spec.init_state()
+        state = self._take_state()
         ri0 = None
+        fused = []
         for s in range(window.nscans):
             ri = P.range_project(
                 pts_all[s], window.remissions[s], window.labels[s],
@@ -200,12 +300,13 @@ class TransferEngine:
                 beam_angles=self.s_beam_angles)
             if s == 0:
                 ri0 = ri
-            state = TS.integrate(
-                state, self.vol_spec, ri.range, ri.label, ri.remission,
-                fov_up_deg=self.source.fov_up,
-                fov_down_deg=self.source.fov_down,
-                origin=origin, active_dims=active)
-        vs = self._raycast(state, origin)
+            fused.append((ri, self.source.fov_up, self.source.fov_down))
+            state = self._integrate(state, ri, self.source.fov_up,
+                                    self.source.fov_down, origin, active,
+                                    reset=(s == 0))
+        vs = self._synthesize(state, origin, active, fused,
+                              flat_pts, flat_valid)
+        self._keep_state(state)
         return vs, ri0
 
     # ------------------------------------------------------------ dispatch

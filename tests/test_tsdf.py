@@ -182,3 +182,50 @@ def test_occupancy_grid():
     # dilation marks the 3^3 neighborhood
     assert occ[1, 2, 2] and occ[3, 2, 2] and occ[2, 1, 2]
     assert not occ[0, 0, 0]
+
+
+def test_compact_state_matches_f32(small_spec):
+    """bf16/int16 compact volumes must agree with f32 within bf16 quantization
+    (labels exactly) on a real fuse+raycast cycle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lidar_transfer_tpu.ops import raycast as RC
+    from lidar_transfer_tpu.ops import tsdf as TS
+
+    rng = np.random.default_rng(11)
+    H, W = 16, 128
+    depth = rng.uniform(3.0, 12.0, (H, W)).astype(np.float32)
+    label = rng.integers(1, 30, (H, W)).astype(np.int32)
+    rem = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    spec = TS.VolumeSpec(origin=(-14.0, -14.0, -3.0), voxel_size=0.25,
+                         dims=(112, 112, 24))
+
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+    s32 = TS.integrate(spec.init_state(), spec,
+                       jnp.asarray(depth), jnp.asarray(label),
+                       jnp.asarray(rem), **kw)
+    s16 = TS.integrate(spec.init_state_compact(), spec,
+                       jnp.asarray(depth), jnp.asarray(label),
+                       jnp.asarray(rem), **kw)
+    assert s16.tsdf.dtype == jnp.bfloat16
+    assert s16.label.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(s16.label, np.int32),
+                                  np.asarray(s32.label))
+    np.testing.assert_allclose(np.asarray(s16.tsdf, np.float32),
+                               np.asarray(s32.tsdf), atol=0.01)
+
+    rays = RC.generate_rays(16, 128, 8.0, -22.0)
+    r32 = RC.raycast_tsdf(s32, spec, jnp.asarray(rays), np.zeros(3),
+                          H=16, W=128)
+    r16 = RC.raycast_tsdf(s16, spec, jnp.asarray(rays), np.zeros(3),
+                          H=16, W=128)
+    assert r16.label.dtype == jnp.int32
+    agree = np.asarray(r16.hit) == np.asarray(r32.hit)
+    assert agree.mean() > 0.99
+    both = np.asarray(r16.hit) & np.asarray(r32.hit)
+    np.testing.assert_allclose(np.asarray(r16.range)[both],
+                               np.asarray(r32.range)[both], atol=0.05)
+    same_lbl = (np.asarray(r16.label)[both] ==
+                np.asarray(r32.label)[both])
+    assert same_lbl.mean() > 0.99
