@@ -137,7 +137,7 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                      target_H: int, target_W: int,
                      fov_up_deg: float, fov_down_deg: float,
                      vol_origin, active_dims=None, beam_angles=None,
-                     samples_per_ray: int = 12, attrs: str = "auto"):
+                     samples_per_ray: int = 8, attrs: str = "auto"):
     """Synthesize a target-spec virtual scan from the fused volume.
 
     Args:

@@ -58,7 +58,7 @@ def _atan_poly(x):
 
 
 def _kernel(params_ref,                      # SMEM (1, 8) f32
-            dcol_ref, lcol_ref, rcol_ref,    # (R, CW) f32 column values
+            dcol_ref, lrcol_ref,             # (R, CW) f32 column values
             tsdf_ref, w_ref, lab_ref, rem_ref,        # (R, Z) state in
             out_tsdf, out_w, out_lab, out_rem,        # (R, Z) state out
             *, Y, Z, H, CW, R, voxel_size, trunc, reset):
@@ -75,7 +75,7 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
 
     gx = jnp.float32(pl.program_id(0))        # one x-plane per grid row
     y0 = pl.program_id(1) * R
-    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, CW), 0)
+    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
           ).astype(jnp.float32)
     px = ox + gx * voxel_size
     py = oy + gy * voxel_size
@@ -84,14 +84,20 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
 
     # cols arrive as (CW, BY) — Y-minor HBM layout avoids the 2x lane
     # padding a (rows, 64)-minor layout would cost; transpose the small
-    # block (CW x BY, ~256 KB) in VMEM
+    # block (CW x BY, ~256 KB) in VMEM, then pad to 128 lanes so every
+    # VPU op below runs at full register width (a 64-wide lane dim would
+    # waste half of each (8,128) register)
+    PW = 128
     dcol = dcol_ref[0].T
-    lcol = lcol_ref[0].T
-    rcol = rcol_ref[0].T
+    lrcol = lrcol_ref[0].T
+    if CW < PW:
+        pad = ((0, 0), (0, PW - CW))
+        dcol = jnp.pad(dcol, pad)
+        lrcol = jnp.pad(lrcol, pad)
 
-    for zc in range(0, Z, CW):
-        width = min(CW, Z - zc)
-        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, CW), 1)
+    for zc in range(0, Z, PW):
+        width = min(PW, Z - zc)
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
               + zc).astype(jnp.float32)
         pz = oz + gz * voxel_size
         depth = jnp.sqrt(rxy2 + pz * pz)
@@ -102,8 +108,11 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
         v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
 
         depth_val = jnp.take_along_axis(dcol, v, axis=1)
-        new_label = jnp.take_along_axis(lcol, v, axis=1)
-        new_rem = jnp.take_along_axis(rcol, v, axis=1)
+        # label and 14-bit remission ride one f32 (label*16384 + rem_q —
+        # exact in the 23-bit mantissa): 2 gathers per chunk instead of 3
+        lr = jnp.take_along_axis(lrcol, v, axis=1)
+        new_label = jnp.floor(lr * (1.0 / 16384.0))
+        new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
 
         diff = depth_val - depth
         dist = jnp.minimum(1.0, diff / trunc)
@@ -120,8 +129,8 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
             weight_f = w_ref[0, :, zc:zc + width].astype(jnp.float32)
             rem_f = rem_ref[0, :, zc:zc + width].astype(jnp.float32)
             label_f = lab_ref[0, :, zc:zc + width].astype(jnp.float32)
-            if width < CW:
-                pad = CW - width
+            if width < PW:
+                pad = PW - width
                 tsdf_f = jnp.pad(tsdf_f, ((0, 0), (0, pad)))
                 weight_f = jnp.pad(weight_f, ((0, 0), (0, pad)))
                 rem_f = jnp.pad(rem_f, ((0, 0), (0, pad)))
@@ -151,6 +160,178 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
             new_lab[:, :width].astype(out_lab.dtype)
         out_rem[0, :, zc:zc + width] = \
             new_remv[:, :width].astype(out_rem.dtype)
+
+
+def _geom_kernel(params_ref, v_out, *, Z, H, R, voxel_size):
+    """Write per-voxel image row v (i8; -1 = out of FOV) — the expensive
+    (atan) frame-invariant part of the integrate geometry. Runs once per
+    volume placement; depth itself stays in-kernel (one sqrt)."""
+    ox = params_ref[0, 0]
+    oy = params_ref[0, 1]
+    oz = params_ref[0, 2]
+    fov_up = params_ref[0, 3]
+    fov_down = params_ref[0, 4]
+    fov = jnp.abs(fov_up) + jnp.abs(fov_down)
+
+    gx = jnp.float32(pl.program_id(0))
+    y0 = pl.program_id(1) * R
+    PW = 128
+    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0)
+          ).astype(jnp.float32)
+    px = ox + gx * voxel_size
+    py = oy + gy * voxel_size
+    rxy2 = px * px + py * py
+
+    for zc in range(0, Z, PW):
+        width = min(PW, Z - zc)
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
+              + zc).astype(jnp.float32)
+        pz = oz + gz * voxel_size
+        pitch = _atan_poly(pz / jnp.maximum(jnp.sqrt(rxy2), 1e-12))
+        in_fov = (pitch <= fov_up) & (pitch >= fov_down)
+        vf = (1.0 - (pitch + jnp.abs(fov_down)) / fov) * H
+        v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
+        v = jnp.where(in_fov, v, -1)
+        v_out[0, :, zc:zc + width] = v[:, :width].astype(jnp.int8)
+
+
+def _kernel_pre(params_ref, dcol_ref, lrcol_ref,
+                v_ref,
+                tsdf_ref, w_ref, lab_ref, rem_ref,
+                out_tsdf, out_w, out_lab, out_rem,
+                *, Y, Z, H, CW, R, voxel_size, trunc, reset):
+    """Integrate with a precomputed v table (i8): skips the atan chain —
+    the dominant per-voxel cost; depth stays one in-kernel sqrt."""
+    ox = params_ref[0, 0]
+    oy = params_ref[0, 1]
+    oz = params_ref[0, 2]
+    obs_w = params_ref[0, 5]
+    ay = params_ref[0, 6]
+    az = params_ref[0, 7]
+    ax = params_ref[1, 0]
+
+    gx = jnp.float32(pl.program_id(0))
+    y0 = pl.program_id(1) * R
+    PW = 128
+    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0)
+          ).astype(jnp.float32)
+    px = ox + gx * voxel_size
+    py = oy + gy * voxel_size
+    rxy2 = px * px + py * py
+    in_crop_xy = (gx < ax) & (gy < ay)
+
+    dcol = dcol_ref[0].T
+    lrcol = lrcol_ref[0].T
+    if CW < PW:
+        pad = ((0, 0), (0, PW - CW))
+        dcol = jnp.pad(dcol, pad)
+        lrcol = jnp.pad(lrcol, pad)
+
+    for zc in range(0, Z, PW):
+        width = min(PW, Z - zc)
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
+              + zc).astype(jnp.float32)
+
+        def load(ref, w=width):
+            blk = ref[0, :, zc:zc + w]
+            if w < PW:
+                blk = jnp.pad(blk, ((0, 0), (0, PW - w)))
+            return blk
+
+        v_raw = load(v_ref).astype(jnp.int32)
+        in_fov = v_raw >= 0
+        v = jnp.maximum(v_raw, 0)
+        pz = oz + gz * voxel_size
+        depth = jnp.sqrt(rxy2 + pz * pz)
+
+        depth_val = jnp.take_along_axis(dcol, v, axis=1)
+        lr = jnp.take_along_axis(lrcol, v, axis=1)
+        new_label = jnp.floor(lr * (1.0 / 16384.0))
+        new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
+
+        diff = depth_val - depth
+        dist = jnp.minimum(1.0, diff / trunc)
+        active = (in_crop_xy & (gz < az) & in_fov & (depth_val > 0.0)
+                  & (diff >= -trunc))
+
+        if reset:
+            tsdf_f = jnp.float32(1.0)
+            weight_f = jnp.float32(0.0)
+            rem_f = jnp.float32(0.0)
+            label_f = jnp.float32(0.0)
+        else:
+            tsdf_f = load(tsdf_ref).astype(jnp.float32)
+            weight_f = load(w_ref).astype(jnp.float32)
+            rem_f = load(rem_ref).astype(jnp.float32)
+            label_f = load(lab_ref).astype(jnp.float32)
+
+        same = label_f == new_label
+        w_new = weight_f + obs_w
+        tsdf_avg = (tsdf_f * weight_f + dist) / w_new
+        rem_avg = (rem_f * weight_f + new_rem) / w_new
+        closer = dist < weight_f
+        upd_same = active & same
+        upd_diff = active & (~same) & closer
+
+        new_tsdf = jnp.where(upd_same, tsdf_avg,
+                             jnp.where(upd_diff, dist, tsdf_f))
+        new_w = jnp.where(upd_same, w_new, weight_f)
+        new_lab = jnp.where(upd_diff, new_label, label_f)
+        new_remv = jnp.where(upd_same, rem_avg,
+                             jnp.where(upd_diff, new_rem, rem_f))
+
+        out_tsdf[0, :, zc:zc + width] = \
+            new_tsdf[:, :width].astype(out_tsdf.dtype)
+        out_w[0, :, zc:zc + width] = new_w[:, :width].astype(out_w.dtype)
+        out_lab[0, :, zc:zc + width] = \
+            new_lab[:, :width].astype(out_lab.dtype)
+        out_rem[0, :, zc:zc + width] = \
+            new_remv[:, :width].astype(out_rem.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "H", "interpret"))
+def _precompute_geometry_impl(fov_up_deg, fov_down_deg, origin,
+                              dims, voxel_size, H, interpret):
+    X, Y, Z = dims
+    BY = min(Y, 1024)
+    params = jnp.zeros((2, 8), jnp.float32)
+    params = params.at[0, :5].set(jnp.stack([
+        origin[0], origin[1], origin[2],
+        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg)]))
+    spec3 = lambda: pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),  # noqa
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _geom_kernel, Z=Z, H=H, R=BY, voxel_size=float(voxel_size))
+    return pl.pallas_call(
+        kernel,
+        grid=(X, Y // BY),
+        in_specs=[pl.BlockSpec((2, 8), lambda x, y: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=spec3(),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(params)
+
+
+def precompute_geometry(spec: VolumeSpec, fov_up_deg, fov_down_deg, H,
+                        origin=None, interpret: bool = False):
+    """v (i8) frame-invariant row table for ``integrate_pallas``.
+
+    Valid while the volume placement (origin) and image FOV/rows stay
+    fixed — exactly the fixed_bounds production configuration.
+    1 B/voxel of HBM.
+    """
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    return _precompute_geometry_impl(
+        jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
+        jnp.asarray(origin, jnp.float32),
+        dims=spec.dims, voxel_size=spec.voxel_size, H=H,
+        interpret=interpret)
 
 
 def _col_width(H: int) -> int:
@@ -197,8 +378,11 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
         return jnp.transpose(c, (1, 0, 2))
 
     dcol = cols_of(depth_im)
-    lcol = cols_of(label_im)
-    rcol = cols_of(rem_im)
+    # pack label + 14-bit remission into one f32 column array (one fewer
+    # in-kernel gather and ~1 GB less HBM at reference scale)
+    packed = (label_im.astype(jnp.float32) * 16384.0
+              + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
+    lrcol = cols_of(packed)
 
     params = jnp.zeros((2, 8), jnp.float32)
     params = params.at[0, :].set(jnp.stack([
@@ -214,6 +398,10 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
 
     state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
                               memory_space=pltpu.VMEM)
+    # reset mode never reads prior state: leave the aliased inputs in HBM
+    # (ANY) so the pipeline skips 4 full-volume DMA reads per frame
+    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
+                     else state_spec)
     col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -222,8 +410,81 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
         in_specs=[
             pl.BlockSpec((2, 8), lambda x, y: (0, 0),
                          memory_space=pltpu.SMEM),
-            col_spec, col_spec, col_spec,
-            state_spec, state_spec, state_spec, state_spec,
+            col_spec, col_spec,
+            state_in_spec, state_in_spec, state_in_spec, state_in_spec,
+        ],
+        out_specs=(state_spec, state_spec, state_spec, state_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(params, dcol, lrcol, *state)
+    return TSDFState(*out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "H", "W", "reset", "interpret"),
+    donate_argnums=(0,))
+def _integrate_pallas_pre_impl(state: TSDFState, depth_im, label_im, rem_im,
+                               fov_up_deg, fov_down_deg, obs_weight,
+                               origin, active_dims, v_tab,
+                               dims, voxel_size, H, W, reset, interpret):
+    X, Y, Z = dims
+    CW = _col_width(H)
+    BY = min(Y, 1024)
+
+    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 1)
+    px = origin[0] + gx * voxel_size
+    py = origin[1] + gy * voxel_size
+    yaw = -jnp.arctan2(py, px)
+    u = jnp.clip(jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * W),
+                 0, W - 1).astype(jnp.int32).reshape(-1)
+
+    def cols_of(img):
+        img = img.astype(jnp.float32)
+        if CW > H:
+            img = jnp.pad(img, ((0, CW - H), (0, 0)))
+        c = jnp.take(img, u.reshape(X, Y), axis=1)
+        return jnp.transpose(c, (1, 0, 2))
+
+    dcol = cols_of(depth_im)
+    # pack label + 14-bit remission into one f32 column array (one fewer
+    # in-kernel gather and ~1 GB less HBM at reference scale)
+    packed = (label_im.astype(jnp.float32) * 16384.0
+              + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
+    lrcol = cols_of(packed)
+
+    params = jnp.zeros((2, 8), jnp.float32)
+    params = params.at[0, :].set(jnp.stack([
+        origin[0], origin[1], origin[2],
+        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg),
+        obs_weight, active_dims[1], active_dims[2]]))
+    params = params.at[1, 0].set(active_dims[0])
+
+    kernel = functools.partial(
+        _kernel_pre, Y=Y, Z=Z, H=H, CW=CW, R=BY,
+        voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
+        reset=reset)
+
+    state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
+                              memory_space=pltpu.VMEM)
+    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
+                     else state_spec)
+    col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(X, Y // BY),
+        in_specs=[
+            pl.BlockSpec((2, 8), lambda x, y: (0, 0),
+                         memory_space=pltpu.SMEM),
+            col_spec, col_spec,
+            state_spec,                       # v geometry table
+            state_in_spec, state_in_spec, state_in_spec, state_in_spec,
         ],
         out_specs=(state_spec, state_spec, state_spec, state_spec),
         out_shape=tuple(
@@ -232,16 +493,21 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(params, dcol, lcol, rcol, *state)
+    )(params, dcol, lrcol, v_tab, *state)
     return TSDFState(*out)
 
 
 def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      rem_im, *, fov_up_deg, fov_down_deg,
                      obs_weight: float = 1.0, origin=None, active_dims=None,
-                     reset: bool = False,
+                     reset: bool = False, geom=None,
                      interpret: bool = False) -> TSDFState:
-    """Pallas-backed drop-in for ops.tsdf.integrate (same semantics)."""
+    """Pallas-backed drop-in for ops.tsdf.integrate (same semantics).
+
+    ``geom``: optional (v i8, depth i16) tables from
+    ``precompute_geometry`` — skips the per-voxel sqrt/atan chain when the
+    volume placement is frame-invariant (fixed_bounds).
+    """
     if origin is None:
         origin = jnp.asarray(spec.origin, jnp.float32)
     if active_dims is None:
@@ -251,6 +517,14 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
         raise ValueError(
             f"unsupported dims {spec.dims} / H {H} for the pallas "
             "integrate (need H<=128, X*Y % 1024 == 0)")
+    if geom is not None:
+        return _integrate_pallas_pre_impl(
+            state, depth_im, label_im.astype(jnp.int32), rem_im,
+            jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
+            jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
+            jnp.asarray(active_dims, jnp.float32), geom,
+            dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W,
+            reset=reset, interpret=interpret)
     return _integrate_pallas_impl(
         state, depth_im, label_im.astype(jnp.int32), rem_im,
         jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),

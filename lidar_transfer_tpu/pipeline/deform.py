@@ -188,21 +188,44 @@ class TransferEngine:
         active = jnp.asarray(exact_dims, jnp.int32)
         return origin, active
 
-    def _integrate(self, state, ri, fov_up, fov_down, origin, active,
-                   reset):
-        use_pallas = self.use_pallas_integrate
-        if use_pallas is None:
-            from lidar_transfer_tpu.ops import tsdf_pallas as TP
+    def _pallas_eligible(self, H):
+        if self.use_pallas_integrate is not None:
+            return self.use_pallas_integrate
+        from lidar_transfer_tpu.ops import tsdf_pallas as TP
 
-            use_pallas = (self._tpu and self.vol_dims[2] % 128 == 0
-                          and TP.supports(self.vol_spec, ri.range.shape[0]))
-        if use_pallas:
+        return (self._tpu and self.vol_dims[2] % 128 == 0
+                and TP.supports(self.vol_spec, H))
+
+    def _ensure_geom(self, fov_up, fov_down, H):
+        """Frame-invariant (v, depth) tables for the pallas integrate.
+
+        Built EAGERLY (outside the frame jit) once per (fov, H) and passed
+        into the jitted frame as arguments — valid because fixed_bounds
+        pins the volume origin. ~3 B/voxel of HBM."""
+        if not (self.fixed_bounds and self._pallas_eligible(H)):
+            return None
+        key = (float(fov_up), float(fov_down), int(H))
+        geoms = getattr(self, "_geoms", None)
+        if geoms is None:
+            geoms = {}
+            self._geoms = geoms
+        if key not in geoms:
+            from lidar_transfer_tpu.ops.tsdf_pallas import (
+                precompute_geometry)
+
+            geoms[key] = precompute_geometry(
+                self.vol_spec, fov_up, fov_down, H)
+        return geoms[key]
+
+    def _integrate(self, state, ri, fov_up, fov_down, origin, active,
+                   reset, geom=None):
+        if self._pallas_eligible(ri.range.shape[0]):
             from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas
 
             return integrate_pallas(
                 state, self.vol_spec, ri.range, ri.label, ri.remission,
                 fov_up_deg=fov_up, fov_down_deg=fov_down,
-                origin=origin, active_dims=active, reset=reset)
+                origin=origin, active_dims=active, reset=reset, geom=geom)
         return TS.integrate(
             state, self.vol_spec, ri.range, ri.label, ri.remission,
             fov_up_deg=fov_up, fov_down_deg=fov_down,
@@ -254,6 +277,24 @@ class TransferEngine:
             points=res.endpoints, mask=res.hit, adaption="mesh")
 
     # ----------------------------------------------------------- mergemesh
+    def _mergemesh_core(self, window: ScanWindow, state: TS.TSDFState,
+                        geom=None):
+        """Pure whole-frame body (jittable when fixed_bounds)."""
+        pts, rem, lbl, valid = merge_window(window)
+        ri = P.range_project(
+            pts, rem, lbl, valid, H=self.source.H, W=self.source.W,
+            fov_up_deg=self.target.fov_up, fov_down_deg=self.target.fov_down,
+            beam_angles=self.s_beam_angles)
+        origin, active = self._frame_volume(pts, valid)
+        state = self._integrate(state, ri,
+                                self.target.fov_up, self.target.fov_down,
+                                origin, active, reset=True, geom=geom)
+        vs = self._synthesize(
+            state, origin, active,
+            [(ri, self.target.fov_up, self.target.fov_down)], pts, valid)
+        return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
+                ri, state)
+
     def mergemesh(self, window: ScanWindow
                   ) -> tuple[VirtualScan, P.RangeImage]:
         """Merged-cloud TSDF adaption ≡ laserscan.py:921-1012.
@@ -261,26 +302,30 @@ class TransferEngine:
         Projection uses SOURCE image dims with TARGET FOV (the reference's
         chosen combination, laserscan.py:929+952) and the volume/raycast use
         target FOV (laserscan.py:968-969).
+
+        With fixed_bounds the whole frame runs as ONE jitted program —
+        per-call dispatch through the axon tunnel costs ~7 ms, so the
+        previous ~7-call frame paid ~50 ms of pure dispatch.
         """
-        pts, rem, lbl, valid = merge_window(window)
-        ri = P.range_project(
-            pts, rem, lbl, valid, H=self.source.H, W=self.source.W,
-            fov_up_deg=self.target.fov_up, fov_down_deg=self.target.fov_down,
-            beam_angles=self.s_beam_angles)
-        origin, active = self._frame_volume(pts, valid)
-        state = self._integrate(self._take_state(), ri,
-                                self.target.fov_up, self.target.fov_down,
-                                origin, active, reset=True)
-        vs = self._synthesize(
-            state, origin, active,
-            [(ri, self.target.fov_up, self.target.fov_down)], pts, valid)
+        geom = self._ensure_geom(self.target.fov_up, self.target.fov_down,
+                                 self.source.H)
+        if self.fixed_bounds:
+            fn = getattr(self, "_mm_jit", None)
+            if fn is None:
+                fn = jax.jit(self._mergemesh_core, donate_argnums=(1,))
+                self._mm_jit = fn
+            out = fn(window, self._take_state(), geom)
+        else:
+            out = self._mergemesh_core(window, self._take_state(), geom)
+        rng, lbl, rem, ends, mask, ri, state = out
         self._keep_state(state)
-        return vs._replace(adaption="mergemesh"), ri
+        vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
+                         mask=mask, adaption="mergemesh")
+        return vs, ri
 
     # ---------------------------------------------------------------- mesh
-    def mesh(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
-        """Per-scan TSDF adaption ≡ laserscan.py:863-918: each scan gets its
-        own range image at the SOURCE spec, integrated sequentially."""
+    def _mesh_core(self, window: ScanWindow, state: TS.TSDFState,
+                   geom=None):
         from lidar_transfer_tpu.ops.transforms import transform_points
 
         pts_all = transform_points(window.points, window.rel_pose)
@@ -288,7 +333,6 @@ class TransferEngine:
         flat_valid = window.valid.reshape(-1)
         origin, active = self._frame_volume(flat_pts, flat_valid)
 
-        state = self._take_state()
         ri0 = None
         fused = []
         for s in range(window.nscans):
@@ -303,10 +347,30 @@ class TransferEngine:
             fused.append((ri, self.source.fov_up, self.source.fov_down))
             state = self._integrate(state, ri, self.source.fov_up,
                                     self.source.fov_down, origin, active,
-                                    reset=(s == 0))
+                                    reset=(s == 0), geom=geom)
         vs = self._synthesize(state, origin, active, fused,
                               flat_pts, flat_valid)
+        return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
+                ri0, state)
+
+    def mesh(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
+        """Per-scan TSDF adaption ≡ laserscan.py:863-918: each scan gets
+        its own range image at the SOURCE spec, integrated sequentially.
+        One jitted program per frame when fixed_bounds (see mergemesh)."""
+        geom = self._ensure_geom(self.source.fov_up, self.source.fov_down,
+                                 self.source.H)
+        if self.fixed_bounds:
+            fn = getattr(self, "_mesh_jit", None)
+            if fn is None:
+                fn = jax.jit(self._mesh_core, donate_argnums=(1,))
+                self._mesh_jit = fn
+            out = fn(window, self._take_state(), geom)
+        else:
+            out = self._mesh_core(window, self._take_state(), geom)
+        rng, lbl, rem, ends, mask, ri0, state = out
         self._keep_state(state)
+        vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
+                         mask=mask, adaption="mesh")
         return vs, ri0
 
     # ------------------------------------------------------------ dispatch

@@ -199,3 +199,33 @@ def test_transform_roundtrip(rng):
     out = T.transform_points(T.transform_points(pts, pose),
                              T.inverse_pose(pose))
     np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-5)
+
+
+def test_sort_and_segment_methods_identical(rng, small_spec):
+    """The sort-based z-buffer must match the two-pass segment-min
+    exactly, including collision tie-breaks (lots of duplicate pixels)."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.ops import projection as P
+
+    n = 20000
+    pts = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    rem = rng.uniform(0, 1, n).astype(np.float32)
+    lbl = rng.integers(0, 30, n).astype(np.int32)
+    val = rng.random(n) > 0.1
+    # force heavy collisions: duplicate 30% of the points exactly
+    dup = rng.integers(0, n, n // 3)
+    pts[dup] = pts[(dup + 1) % n]
+
+    kw = dict(H=small_spec.H, W=small_spec.W,
+              fov_up_deg=small_spec.fov_up,
+              fov_down_deg=small_spec.fov_down)
+    a = P.range_project(jnp.asarray(pts), jnp.asarray(rem),
+                        jnp.asarray(lbl), jnp.asarray(val),
+                        method="sort", **kw)
+    b = P.range_project(jnp.asarray(pts), jnp.asarray(rem),
+                        jnp.asarray(lbl), jnp.asarray(val),
+                        method="segment", **kw)
+    np.testing.assert_array_equal(np.asarray(a.index), np.asarray(b.index))
+    np.testing.assert_array_equal(np.asarray(a.range), np.asarray(b.range))
+    np.testing.assert_array_equal(np.asarray(a.label), np.asarray(b.label))

@@ -1,0 +1,117 @@
+"""Pallas integrate kernels vs the XLA integrate (interpret mode, CPU).
+
+Covers: plain kernel, reset mode, the precomputed v-table variant, and
+the packed label+remission columns — all must reproduce ops.tsdf.integrate
+exactly (labels bit-exact; tsdf/rem within the 14-bit rem quantization).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_transfer_tpu.ops import tsdf as TS
+from lidar_transfer_tpu.ops.tsdf_pallas import (integrate_pallas,
+                                                precompute_geometry,
+                                                supports)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    H, W = 16, 256
+    spec = TS.VolumeSpec(origin=(-10.0, -12.0, -3.0), voxel_size=0.3,
+                         dims=(8, 128, 30))
+    depth = (rng.uniform(2.0, 14.0, (H, W))
+             * (rng.random((H, W)) > 0.2)).astype(np.float32)
+    label = rng.integers(0, 30, (H, W)).astype(np.int32)
+    rem = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    return rng, spec, depth, label, rem
+
+
+def _rand_state(rng, spec):
+    return TS.TSDFState(
+        tsdf=jnp.asarray(rng.uniform(-1, 1, spec.dims), jnp.float32),
+        weight=jnp.asarray(rng.integers(0, 3, spec.dims), jnp.float32),
+        label=jnp.asarray(rng.integers(0, 30, spec.dims), jnp.int32),
+        rem=jnp.asarray(rng.uniform(0, 1, spec.dims), jnp.float32))
+
+
+def _check(ref, out, rem_tol=1e-4):
+    np.testing.assert_array_equal(np.asarray(out.label, np.int32),
+                                  np.asarray(ref.label, np.int32))
+    np.testing.assert_allclose(np.asarray(out.tsdf, np.float32),
+                               np.asarray(ref.tsdf, np.float32), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.weight, np.float32),
+                               np.asarray(ref.weight, np.float32),
+                               atol=1e-5)
+    # remission rides a 14-bit packed channel
+    np.testing.assert_allclose(np.asarray(out.rem, np.float32),
+                               np.asarray(ref.rem, np.float32),
+                               atol=rem_tol)
+
+
+@pytest.mark.parametrize("reset", [True, False])
+def test_pallas_matches_xla(setup, reset):
+    rng, spec, depth, label, rem = setup
+    assert supports(spec, depth.shape[0])
+    s0 = _rand_state(rng, spec)
+    ref_in = (TS.TSDFState(jnp.ones(spec.dims), jnp.zeros(spec.dims),
+                           jnp.zeros(spec.dims, jnp.int32),
+                           jnp.zeros(spec.dims))
+              if reset else s0)
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+    ref = TS.integrate(
+        TS.TSDFState(*(jnp.array(a) for a in ref_in)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem), **kw)
+    out = integrate_pallas(
+        TS.TSDFState(*(jnp.array(a) for a in s0)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem),
+        reset=reset, interpret=True, **kw)
+    _check(ref, out)
+
+
+def test_pallas_geom_table_matches(setup):
+    rng, spec, depth, label, rem = setup
+    geom = precompute_geometry(spec, 8.0, -22.0, depth.shape[0],
+                               interpret=True)
+    assert geom.dtype == jnp.int8
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0, reset=True)
+    a = integrate_pallas(
+        TS.TSDFState(jnp.ones(spec.dims), jnp.zeros(spec.dims),
+                     jnp.zeros(spec.dims, jnp.int32),
+                     jnp.zeros(spec.dims)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem),
+        interpret=True, **kw)
+    b = integrate_pallas(
+        TS.TSDFState(jnp.ones(spec.dims), jnp.zeros(spec.dims),
+                     jnp.zeros(spec.dims, jnp.int32),
+                     jnp.zeros(spec.dims)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem),
+        geom=geom, interpret=True, **kw)
+    _check(a, b)
+
+
+def test_pallas_compact_state(setup):
+    rng, spec, depth, label, rem = setup
+    ref = TS.integrate(
+        spec.init_state_compact(), spec, jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray(rem),
+        fov_up_deg=8.0, fov_down_deg=-22.0)
+    out = integrate_pallas(
+        spec.init_state_compact(), spec, jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray(rem),
+        fov_up_deg=8.0, fov_down_deg=-22.0, reset=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.label, np.int32),
+                                  np.asarray(ref.label, np.int32))
+    np.testing.assert_allclose(np.asarray(out.tsdf, np.float32),
+                               np.asarray(ref.tsdf, np.float32), atol=0.01)
+
+
+def test_unsupported_shapes_raise(setup):
+    rng, spec, depth, label, rem = setup
+    big_h = np.zeros((200, 64), np.float32)
+    with pytest.raises(ValueError):
+        integrate_pallas(
+            spec.init_state(), spec, jnp.asarray(big_h),
+            jnp.zeros((200, 64), jnp.int32), jnp.zeros((200, 64)),
+            fov_up_deg=8.0, fov_down_deg=-22.0, interpret=True)
