@@ -1,0 +1,130 @@
+"""Splat synthesis: parity vs raymarcher / native mesh oracle / attrs modes."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+from lidar_transfer_tpu.datasets import synthetic
+from lidar_transfer_tpu.datasets.kitti import KittiSequence
+from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+CAP = 8192
+
+
+def make_cfg(**kw):
+    base = dict(adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+                voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    base.update(kw)
+    return TransferConfig(**base)
+
+
+def test_splat_beats_or_matches_raymarch(synthetic_dataset, small_spec):
+    """Same fused volume, two engines: splat must cover at least as many
+    near pixels and agree on ranges where both hit."""
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    eng_s = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="splat")
+    vs_s, ri = eng_s.transfer(window)
+    eng_r = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="raymarch")
+    vs_r, _ = eng_r.transfer(window)
+
+    src = np.asarray(ri.range)
+    near = np.asarray(ri.mask) & (src < 14.0) & (src > 0)
+    cov_s = (np.asarray(vs_s.mask) & near).sum()
+    cov_r = (np.asarray(vs_r.mask) & near).sum()
+    assert cov_s >= cov_r
+
+    both = np.asarray(vs_s.mask) & np.asarray(vs_r.mask) & near
+    d = np.abs(np.asarray(vs_s.range) - np.asarray(vs_r.range))[both]
+    assert np.median(d) < 2 * cfg.voxel_size
+    # identity transfer: splat range error vs the source is tiny
+    err = np.abs(np.asarray(vs_s.range) - src)[np.asarray(vs_s.mask) & near]
+    assert np.median(err) < 0.5 * cfg.voxel_size
+
+
+def test_splat_image_vs_volume_attrs(synthetic_dataset, small_spec):
+    """Single fused image: image-derived attributes must closely match the
+    volume-gathered ones (they describe the same written band)."""
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.ops.splat import splat_synthesize
+    from lidar_transfer_tpu.pipeline.multiscan import merge_window
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    pts, rem, lbl, valid = merge_window(window)
+    ri = P.range_project(pts, rem, lbl, valid, H=small_spec.H,
+                         W=small_spec.W, fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    origin, active = eng._frame_volume(pts, valid)
+    state = eng._integrate(eng._take_state(), ri, small_spec.fov_up,
+                           small_spec.fov_down, origin, active, reset=True)
+    back = P.reverse_project(ri, fov_up_deg=small_spec.fov_up,
+                             fov_down_deg=small_spec.fov_down,
+                             preserve_float=True)
+    srcs = [(ri.range.reshape(-1), back, ri.mask.reshape(-1),
+             ri.label.reshape(-1),
+             jnp.maximum(ri.remission, 0.0).reshape(-1))]
+    kw = dict(target_H=small_spec.H, target_W=small_spec.W,
+              fov_up_deg=small_spec.fov_up,
+              fov_down_deg=small_spec.fov_down,
+              vol_origin=origin, active_dims=active)
+    ri_img = splat_synthesize(state, eng.vol_spec, srcs, attrs="image",
+                              **kw)
+    ri_vol = splat_synthesize(state, eng.vol_spec, srcs, attrs="volume",
+                              **kw)
+    m_img, m_vol = np.asarray(ri_img[4]), np.asarray(ri_vol[4])
+    both = m_img & m_vol
+    assert both.sum() > 0.8 * max(m_vol.sum(), 1)
+    lbl_agree = (np.asarray(ri_img[1]) == np.asarray(ri_vol[1]))[both]
+    assert lbl_agree.mean() > 0.97
+    rng_diff = np.abs(np.asarray(ri_img[0]) - np.asarray(ri_vol[0]))[both]
+    assert np.median(rng_diff) < cfg.voxel_size
+
+
+@pytest.mark.skipif(
+    not __import__("lidar_transfer_tpu.native", fromlist=["available"]
+                   ).available(),
+    reason="native toolchain unavailable")
+def test_splat_vs_native_mesh_oracle(synthetic_dataset, small_spec, scene):
+    """Splat ranges vs the native BVH tracing of the marching-tetrahedra
+    mesh of the SAME volume: the two surface definitions agree to within
+    a voxel on well-observed pixels."""
+    from lidar_transfer_tpu import native
+    from lidar_transfer_tpu.ops import raycast as RC
+    from lidar_transfer_tpu.ops.marching import marching_tetrahedra
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         synthesis="splat", fixed_bounds=True)
+    vs, ri = eng.transfer(window)
+
+    state = eng._vol_state
+    tsdf = np.asarray(state.tsdf, np.float32)
+    tris_grid = marching_tetrahedra(tsdf, 0.0)
+    tris_world = (tris_grid * cfg.voxel_size
+                  + np.asarray(eng.vol_spec.origin, np.float32))
+    verts = tris_world.reshape(-1, 3)
+    faces = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
+    lab = np.ones(verts.shape[0], np.int32)
+    remv = np.zeros(verts.shape[0], np.float32)
+
+    rays = RC.generate_rays(small_spec.H, small_spec.W,
+                            small_spec.fov_up, small_spec.fov_down)
+    nat = native.trace_mesh(rays, np.zeros(3), verts, faces, lab, remv)
+    nat_rng = nat.range.reshape(small_spec.H, small_spec.W)
+
+    both = np.asarray(vs.mask) & (nat_rng > 0) & (nat_rng < 14.0)
+    assert both.sum() > 500
+    d = np.abs(np.asarray(vs.range) - nat_rng)[both]
+    assert np.median(d) < 2 * cfg.voxel_size
