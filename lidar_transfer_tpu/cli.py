@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-frame metrics to this JSON file.")
     p.add_argument("--png", action="store_true",
                    help="Export label/range PNGs of each virtual scan.")
+    p.add_argument("--ply", type=str, default=None,
+                   help="Export the fused surface mesh of each frame as "
+                        "PLY into this directory (opt-in; the reference "
+                        "unconditionally wrote test.ply per frame).")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend.")
     return p
@@ -173,6 +177,15 @@ def main(argv=None) -> int:
                 from lidar_transfer_tpu.utils.images import (
                     save_virtual_scan_pngs)
                 save_virtual_scan_pngs(out_path, idx, vs, cfg)
+
+        if args.ply and cfg.adaption in ("mesh", "mergemesh"):
+            os.makedirs(args.ply, exist_ok=True)
+            from lidar_transfer_tpu.config import make_color_lut
+            lut = (make_color_lut(cfg.color_map_bgr)[:, ::-1]
+                   * 255).astype("uint8")
+            n_tri = eng.export_mesh(
+                os.path.join(args.ply, f"{idx:06d}.ply"), colorize=lut)
+            frame_metrics["triangles"] = n_tri
 
         s = time.time() - t0
         print("Took: %.2fs" % s)

@@ -125,8 +125,7 @@ class TransferEngine:
             dims=self.vol_dims)
 
     # ------------------------------------------------------------------ cp
-    def cp(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
-        """Closest-point adaption ≡ laserscan.py:827-861."""
+    def _cp_core(self, window: ScanWindow):
         pts, rem, lbl, valid = merge_window(window)
         ri = P.range_project(
             pts, rem, lbl, valid, H=self.target.H, W=self.target.W,
@@ -136,6 +135,18 @@ class TransferEngine:
             ri, fov_up_deg=self.target.fov_up,
             fov_down_deg=self.target.fov_down,
             preserve_float=self.cfg.preserve_float)
+        return ri, back
+
+    def cp(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
+        """Closest-point adaption ≡ laserscan.py:827-861.
+
+        NOT wrapped in an outer whole-frame jit: fusing merge+projection
+        into one program lets XLA's excess-precision FMA re-round the
+        pixel coordinates, flipping ~1.7% of boundary pixels — which
+        breaks cp's exact-identity contract (identity transfer must
+        reproduce the source image bit-for-bit). Two dispatches is cheap.
+        """
+        ri, back = self._cp_core(window)
         vs = VirtualScan(
             range=ri.range, label=ri.label,
             remission=jnp.maximum(ri.remission, 0.0),
@@ -258,6 +269,41 @@ class TransferEngine:
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
         return self._raycast(state, origin_vol, pts, valid)
+
+    def export_mesh(self, path: str, colorize=None) -> int:
+        """Extract and write the fused volume's surface mesh as PLY.
+
+        ≡ the reference's per-frame ``fl.meshwrite("test.ply", ...)``
+        (laserscan.py:1010 + fusion_lidar.py:403-424) but opt-in (SURVEY.md
+        flags the unconditional write as a slow side effect). Uses the last
+        transferred frame's volume; returns the triangle count.
+
+        Args:
+          colorize: optional (max_label, 3) uint8 LUT applied to the
+            nearest-voxel label of each vertex.
+        """
+        from lidar_transfer_tpu.ops.marching import marching_tetrahedra
+        from lidar_transfer_tpu.utils.plyio import write_ply
+
+        state = getattr(self, "_vol_state", None)
+        if state is None:
+            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
+                               "transfer first")
+        tsdf = np.asarray(state.tsdf, np.float32)
+        tris = marching_tetrahedra(tsdf, 0.0)
+        world = (tris * self.vol_spec.voxel_size
+                 + np.asarray(self.vol_spec.origin, np.float32))
+        verts = world.reshape(-1, 3)
+        faces = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
+        colors = None
+        if colorize is not None and verts.shape[0]:
+            g = np.clip(np.rint(tris.reshape(-1, 3)).astype(int), 0,
+                        np.asarray(self.vol_dims) - 1)
+            lbl = np.asarray(state.label, np.int32)[
+                g[:, 0], g[:, 1], g[:, 2]]
+            colors = colorize[np.clip(lbl, 0, colorize.shape[0] - 1)]
+        write_ply(path, verts, faces, colors=colors)
+        return faces.shape[0]
 
     def _raycast(self, state: TS.TSDFState, origin_vol, pts, valid
                  ) -> VirtualScan:
