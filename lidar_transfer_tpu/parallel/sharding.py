@@ -146,3 +146,75 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
         out_specs=TSDFState(P("data", None, None), P("data", None, None),
                             P("data", None, None), P("data", None, None)))
     return fn(state, depth_im, label_im.astype(jnp.int32), rem_im)
+
+
+def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
+    """Data-parallel transfer: one frame per device, each with its own
+    volume.
+
+    The reference scales batch jobs by launching 11 sequential shell
+    processes (experiments/run_lidar_deform.sh); here the batch axis of
+    frames is sharded over the mesh's devices and every device runs the
+    full single-frame pipeline (projection -> fusion -> synthesis) on its
+    shard — embarrassingly parallel, no collectives, linear scaling.
+
+    Args:
+      engine: a TransferEngine with fixed_bounds=True (the frame body must
+        be pure; see pipeline/deform.py).
+      windows: a ScanWindow whose arrays carry a leading batch axis of
+        size n_devices * k (stack single-frame windows with
+        ``stack_windows``).
+      mesh: optional; defaults to all devices on one "data" axis.
+
+    Returns (range, label, remission, points, mask) stacked over frames.
+    """
+    from jax.sharding import Mesh as _Mesh
+
+    if not engine.fixed_bounds:
+        raise ValueError("frame_parallel_transfer needs fixed_bounds=True")
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = _Mesh(devs.reshape(len(devs), 1), ("data", "model"))
+    n_dev = mesh.shape["data"]
+    batch = windows.points.shape[0]
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by {n_dev} devices")
+
+    from jax import shard_map
+
+    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
+
+    def one_frame(points, remissions, labels, valid, rel_pose):
+        w = ScanWindow(points=points, remissions=remissions, labels=labels,
+                       valid=valid, rel_pose=rel_pose, primary_index=0)
+        state = (engine.vol_spec.init_state_compact()
+                 if engine.compact_volume else engine.vol_spec.init_state())
+        rng, lbl, rem, ends, mask, _, _ = engine._mergemesh_core(w, state)
+        return rng, lbl, rem, ends, mask
+
+    def local(points, remissions, labels, valid, rel_pose):
+        # each device maps over its local sub-batch of frames
+        return jax.lax.map(lambda a: one_frame(*a),
+                           (points, remissions, labels, valid, rel_pose))
+
+    spec = P("data")
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec),
+                   out_specs=(spec, spec, spec, spec, spec))
+    return fn(windows.points, windows.remissions, windows.labels,
+              windows.valid, windows.rel_pose)
+
+
+def stack_windows(windows):
+    """Stack single-frame ScanWindows into one batched ScanWindow
+    (leading frame axis) for ``frame_parallel_transfer``."""
+    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
+
+    return ScanWindow(
+        points=jnp.stack([w.points for w in windows]),
+        remissions=jnp.stack([w.remissions for w in windows]),
+        labels=jnp.stack([w.labels for w in windows]),
+        valid=jnp.stack([w.valid for w in windows]),
+        rel_pose=jnp.stack([w.rel_pose for w in windows]),
+        primary_index=windows[0].primary_index,
+    )
