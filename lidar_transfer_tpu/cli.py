@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-frame metrics to this JSON file.")
     p.add_argument("--png", action="store_true",
                    help="Export label/range PNGs of each virtual scan.")
+    p.add_argument("--rolling-shutter", action="store_true",
+                   help="Model ego motion within each frame: target rays "
+                        "originate at the per-column interpolated sensor "
+                        "pose (uses the next scan's pose).")
     p.add_argument("--ply", type=str, default=None,
                    help="Export the fused surface mesh of each frame as "
                         "PLY into this directory (opt-in; the reference "
@@ -142,6 +146,13 @@ def main(argv=None) -> int:
             window = load_window(seq, cfg, idx, capacity)
         with timer.span("transfer", 1):
             vs, ri = eng.transfer(window)
+            if (args.rolling_shutter and idx + 1 < len(seq)
+                    and cfg.adaption in ("mesh", "mergemesh")):
+                import numpy as _np
+
+                pose_next = (_np.linalg.inv(seq.poses[idx])
+                             @ seq.poses[idx + 1])
+                vs = eng.resynthesize_rolling_shutter(pose_next)
             jax.block_until_ready(vs.range)
 
         frame_metrics = {"index": idx}

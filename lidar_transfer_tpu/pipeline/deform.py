@@ -270,6 +270,36 @@ class TransferEngine:
                                points=ends, mask=mask, adaption="mesh")
         return self._raycast(state, origin_vol, pts, valid)
 
+    def resynthesize_rolling_shutter(self, pose_next: np.ndarray
+                                     ) -> VirtualScan:
+        """Re-cast the LAST transferred frame's volume with rolling-shutter
+        rays.
+
+        ``pose_next`` is the relative pose over one frame period
+        (inv(pose[i]) @ pose[i+1]); each target column's rays originate at
+        the interpolated sensor pose at its firing time
+        (ops/raycast.generate_rays_moving — the working version of the
+        reference's disabled create_rays_moving, laserscan.py:1035-1090).
+        Uses the raymarcher (per-ray origins); the splat engine assumes a
+        co-centered sensor.
+        """
+        state = getattr(self, "_vol_state", None)
+        if state is None:
+            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
+                               "transfer first")
+        t = self.target
+        ba = (np.deg2rad(t.beam_angles)
+              if t.beam_angles is not None else None)
+        rays, origins = RC.generate_rays_moving(
+            t.H, t.W, t.fov_up, t.fov_down, pose_next, beam_angles=ba)
+        res = RC.raycast_tsdf(
+            state, self.vol_spec, jnp.asarray(rays), jnp.asarray(origins),
+            t.H, t.W, fine_step=2.0,
+            vol_origin=jnp.asarray(self.vol_spec.origin, jnp.float32))
+        return VirtualScan(range=res.range, label=res.label,
+                           remission=res.remission, points=res.endpoints,
+                           mask=res.hit, adaption="mergemesh-rolling")
+
     def export_mesh(self, path: str, colorize=None) -> int:
         """Extract and write the fused volume's surface mesh as PLY.
 

@@ -142,3 +142,54 @@ def test_torch_interop(synthetic_dataset, small_spec):
     feats = range_image_features(ri.range, xyz, ri.remission, ri.mask)
     ft = features_to_torch(feats)
     assert ft.shape == (5, small_spec.H, small_spec.W)
+
+
+def test_engine_rolling_shutter_identity(synthetic_dataset, small_spec):
+    """pose_next = identity ==> rolling-shutter resynthesis equals the
+    static raymarcher on the same volume."""
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True, synthesis="raymarch")
+    window = load_window(seq, cfg, 2, 8192)
+    vs_static, _ = eng.transfer(window)
+    vs_rs = eng.resynthesize_rolling_shutter(np.eye(4))
+    np.testing.assert_array_equal(np.asarray(vs_rs.mask),
+                                  np.asarray(vs_static.mask))
+    both = np.asarray(vs_rs.mask) & np.asarray(vs_static.mask)
+    np.testing.assert_allclose(np.asarray(vs_rs.range)[both],
+                               np.asarray(vs_static.range)[both],
+                               atol=1e-4)
+
+
+def test_engine_rolling_shutter_motion_shifts(synthetic_dataset,
+                                              small_spec):
+    """Forward ego motion pulls later-fired columns closer to forward
+    surfaces: ranges must differ from the static cast."""
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True, synthesis="raymarch")
+    window = load_window(seq, cfg, 2, 8192)
+    vs_static, _ = eng.transfer(window)
+    pose = np.eye(4)
+    pose[0, 3] = 1.0                     # 1 m forward over the frame
+    vs_rs = eng.resynthesize_rolling_shutter(pose)
+    both = np.asarray(vs_rs.mask) & np.asarray(vs_static.mask)
+    d = np.abs(np.asarray(vs_rs.range) - np.asarray(vs_static.range))[both]
+    assert np.median(d) > 0.01           # distortion is visible
+    assert np.median(d) < 1.5            # but bounded by the motion
