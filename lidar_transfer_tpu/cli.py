@@ -89,7 +89,8 @@ def main(argv=None) -> int:
     from lidar_transfer_tpu.metrics import compare_scans
     from lidar_transfer_tpu.ops import projection as P
     from lidar_transfer_tpu.pipeline import TransferEngine, load_window
-    from lidar_transfer_tpu.pipeline.multiscan import min_start_index
+    from lidar_transfer_tpu.pipeline.multiscan import (max_end_index,
+        min_start_index)
     from lidar_transfer_tpu.pipeline.writer import write_virtual_scan
 
     # ---- configs (3 layers, ≡ lidar_deform.py:153-325)
@@ -134,7 +135,7 @@ def main(argv=None) -> int:
     idx = max(args.offset, min_start_index(cfg.number_of_scans))
     if idx != args.offset:
         print(f"Automatic offset {idx}")
-    end = len(seq) - (cfg.number_of_scans - 1)
+    end = max_end_index(cfg.number_of_scans, len(seq))
     increment = cfg.batch_interval if args.batch else 1
     frames_done = 0
     all_metrics = []

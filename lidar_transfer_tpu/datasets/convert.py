@@ -160,15 +160,10 @@ def convert_ford(source: str, output_dir: str, sequence: str,
     C = rot_z(np.deg2rad(-90.0))      # into KITTI velodyne frame, x forward
     poses = []
     n_written = 0
-    first_inv = None
     for i, fname in enumerate(scan_files):
         mat = scipy.io.loadmat(fname)
         scan = mat["SCAN"]
-        x_wv = scan["X_wv"][0, 0]
-        T = ford_pose(x_wv)
-        if first_inv is None:
-            first_inv = np.linalg.inv(T)
-        poses.append(first_inv @ T)
+        poses.append(ford_pose(scan["X_wv"][0, 0]))
 
         xyz = np.asarray(scan["XYZ"][0, 0], np.float64)      # (3, N)
         pts = (C @ xyz).T.astype(np.float32)
@@ -179,10 +174,9 @@ def convert_ford(source: str, output_dir: str, sequence: str,
         if verbose and i % 50 == 0:
             print(f"Ford scan {i}/{len(scan_files)}")
 
-    with open(os.path.join(seq_dir, "poses.txt"), "w") as f:
-        for pose in poses:
-            f.write(" ".join(str(v) for v in pose[:3, :4].reshape(-1)))
-            f.write("\n")
+    # write_kitti_poses rebases to the first pose, matching the
+    # reference's first_pose @ T (ford2kitti.py:103)
+    write_kitti_poses(os.path.join(seq_dir, "poses.txt"), np.stack(poses))
     return n_written
 
 

@@ -50,9 +50,13 @@ def compare_datasets(datasets: dict[str, str], sequences=("00",),
 
 
 def _plot(result: dict, labels: dict[int, str], out_file: str) -> None:
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print(f"matplotlib unavailable - skipping plot {out_file}")
+        return
 
     all_classes = sorted({c for h in result.values() for c in h})
     names = list(result)

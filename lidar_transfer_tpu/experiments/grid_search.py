@@ -37,7 +37,8 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
     from lidar_transfer_tpu.metrics import compare_scans
     from lidar_transfer_tpu.ops import projection as P
     from lidar_transfer_tpu.pipeline import TransferEngine, load_window
-    from lidar_transfer_tpu.pipeline.multiscan import min_start_index
+    from lidar_transfer_tpu.pipeline.multiscan import (max_end_index,
+        min_start_index)
 
     source = SensorSpec.from_yaml(os.path.join(dataset, "config.yaml"))
     target = (SensorSpec.from_yaml(target_yaml) if target_yaml else source)
@@ -48,7 +49,7 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
                          fixed_bounds=fixed_bounds)
 
     idx0 = max(offset, min_start_index(cfg.number_of_scans))
-    end = len(seq) - (cfg.number_of_scans - 1)
+    end = max_end_index(cfg.number_of_scans, len(seq))
     ious, accs, mses = [], [], []
     t0 = time.time()
     n_done = 0
@@ -146,9 +147,13 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
 
 def _heatmap(result: dict, metric: str, out_file: str) -> None:
     """Render a frames x voxel heat map (≡ reference `plot`, :18-38)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print(f"matplotlib unavailable - skipping plot {out_file}")
+        return
 
     frames = result["grid"]["frames_list"]
     voxels = result["grid"]["voxel_sizes"]

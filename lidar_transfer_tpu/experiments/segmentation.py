@@ -134,9 +134,9 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
 
     n_dev = len(jax.devices())
     mesh = None
-    if use_mesh and n_dev > 1 and batch_size % max(
-            make_mesh().shape["data"], 1) == 0:
-        mesh = make_mesh()
+    candidate = make_mesh() if (use_mesh and n_dev > 1) else None
+    if candidate is not None and batch_size % candidate.shape["data"] == 0:
+        mesh = candidate
         step_fn = sharded_train_step(model, tx, mesh)
     else:
         from lidar_transfer_tpu.models.rangenet import train_step

@@ -12,19 +12,25 @@ problem (SURVEY.md §2.2 N9):
 
   - a voxel's image COLUMN u depends only on its (x, y) — yaw is constant
     along z. The host-side wrapper gathers each (x, y)'s image column once
-    (``jnp.take`` over 4M columns, cheap) into ``cols`` arrays of shape
-    (X*Y, H);
-  - inside the kernel, each grid step owns a row-tile of the (X*Y, Z)
-    state view plus its (row, H) column values in VMEM. The only gather
-    left is ``take_along_axis`` over the H axis — H <= 128, a lane-local
-    dynamic gather Mosaic supports natively (one lane register);
+    (``jnp.take`` over the X*Y columns, cheap); label and a 14-bit
+    quantized remission ride ONE packed f32 column array (exact in the
+    23-bit mantissa) so the kernel gathers 2 values per voxel, not 3;
+  - inside the kernel, each grid step owns one x-plane's y-tile of the
+    volume plus its column values in VMEM. The only gather left is
+    ``take_along_axis`` over the padded H axis — a lane-local dynamic
+    gather Mosaic supports natively (operand and index minor dims must
+    match and stay <= 128);
   - everything else (spherical geometry, FOV/crop masks, the reference's
     class-aware update rule, fusion_lidar.py:191-228) is elementwise VPU
-    work computed in-kernel, and the state tiles are updated in place via
+    work, and the state tiles are updated in place via
     input_output_aliases.
 
-Z is processed in chunks whose width equals the padded H width (Mosaic's
-dynamic_gather requires operand and index minor dims to match).
+Two geometry modes share the same kernel body:
+  - in-kernel: pitch via a minimax atan polynomial (Mosaic lowers no
+    asin/atan2/atan) — works for any per-frame volume placement;
+  - precomputed v-table (i8; -1 = out of FOV) from
+    ``precompute_geometry`` — skips the atan chain when the placement is
+    frame-invariant (fixed_bounds), leaving one sqrt per voxel.
 """
 
 from __future__ import annotations
@@ -38,6 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
+
+_PW = 128      # processing width: full (8,128) VPU register lanes
 
 
 def _atan_poly(x):
@@ -57,25 +65,31 @@ def _atan_poly(x):
     return jnp.where(x < 0, -p, p)
 
 
-def _kernel(params_ref,                      # SMEM (1, 8) f32
-            dcol_ref, lrcol_ref,             # (R, CW) f32 column values
-            tsdf_ref, w_ref, lab_ref, rem_ref,        # (R, Z) state in
-            out_tsdf, out_w, out_lab, out_rem,        # (R, Z) state out
-            *, Y, Z, H, CW, R, voxel_size, trunc, reset):
+def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
+            Y, Z, H, CW, R, voxel_size, trunc, reset, has_vtab):
+    """One grid step: update one (x, y-tile) slab of the volume.
+
+    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4 state-out refs.
+    """
+    if has_vtab:
+        v_ref, refs = refs[0], refs[1:]
+    tsdf_ref, w_ref, lab_ref, rem_ref = refs[0:4]
+    out_tsdf, out_w, out_lab, out_rem = refs[4:8]
+
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
     oz = params_ref[0, 2]
     fov_up = params_ref[0, 3]
     fov_down = params_ref[0, 4]
     obs_w = params_ref[0, 5]
-    ay = params_ref[0, 6]        # active crop (x folded into rows, y, z)
+    ay = params_ref[0, 6]        # active crop (y, z, x)
     az = params_ref[0, 7]
     ax = params_ref[1, 0]
     fov = jnp.abs(fov_up) + jnp.abs(fov_down)
 
     gx = jnp.float32(pl.program_id(0))        # one x-plane per grid row
     y0 = pl.program_id(1) * R
-    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, _PW), 0)
           ).astype(jnp.float32)
     px = ox + gx * voxel_size
     py = oy + gy * voxel_size
@@ -84,32 +98,39 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
 
     # cols arrive as (CW, BY) — Y-minor HBM layout avoids the 2x lane
     # padding a (rows, 64)-minor layout would cost; transpose the small
-    # block (CW x BY, ~256 KB) in VMEM, then pad to 128 lanes so every
-    # VPU op below runs at full register width (a 64-wide lane dim would
-    # waste half of each (8,128) register)
-    PW = 128
+    # block (~256 KB) in VMEM and pad to full register width
     dcol = dcol_ref[0].T
     lrcol = lrcol_ref[0].T
-    if CW < PW:
-        pad = ((0, 0), (0, PW - CW))
+    if CW < _PW:
+        pad = ((0, 0), (0, _PW - CW))
         dcol = jnp.pad(dcol, pad)
         lrcol = jnp.pad(lrcol, pad)
 
-    for zc in range(0, Z, PW):
-        width = min(PW, Z - zc)
-        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
+    for zc in range(0, Z, _PW):
+        width = min(_PW, Z - zc)
+
+        def load(ref, w=width):
+            blk = ref[0, :, zc:zc + w]
+            if w < _PW:
+                blk = jnp.pad(blk, ((0, 0), (0, _PW - w)))
+            return blk
+
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, _PW), 1)
               + zc).astype(jnp.float32)
         pz = oz + gz * voxel_size
         depth = jnp.sqrt(rxy2 + pz * pz)
-        # asin(pz / depth) == atan(pz / r_xy) for r_xy >= 0
-        pitch = _atan_poly(pz / jnp.maximum(jnp.sqrt(rxy2), 1e-12))
-        in_fov = (pitch <= fov_up) & (pitch >= fov_down)
-        vf = (1.0 - (pitch + jnp.abs(fov_down)) / fov) * H
-        v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
+        if has_vtab:
+            v_raw = load(v_ref).astype(jnp.int32)
+            in_fov = v_raw >= 0
+            v = jnp.maximum(v_raw, 0)
+        else:
+            # asin(pz / depth) == atan(pz / r_xy) for r_xy >= 0
+            pitch = _atan_poly(pz / jnp.maximum(jnp.sqrt(rxy2), 1e-12))
+            in_fov = (pitch <= fov_up) & (pitch >= fov_down)
+            vf = (1.0 - (pitch + jnp.abs(fov_down)) / fov) * H
+            v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
 
         depth_val = jnp.take_along_axis(dcol, v, axis=1)
-        # label and 14-bit remission ride one f32 (label*16384 + rem_q —
-        # exact in the 23-bit mantissa): 2 gathers per chunk instead of 3
         lr = jnp.take_along_axis(lrcol, v, axis=1)
         new_label = jnp.floor(lr * (1.0 / 16384.0))
         new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
@@ -125,17 +146,12 @@ def _kernel(params_ref,                      # SMEM (1, 8) f32
             rem_f = jnp.float32(0.0)
             label_f = jnp.float32(0.0)
         else:
-            tsdf_f = tsdf_ref[0, :, zc:zc + width].astype(jnp.float32)
-            weight_f = w_ref[0, :, zc:zc + width].astype(jnp.float32)
-            rem_f = rem_ref[0, :, zc:zc + width].astype(jnp.float32)
-            label_f = lab_ref[0, :, zc:zc + width].astype(jnp.float32)
-            if width < PW:
-                pad = PW - width
-                tsdf_f = jnp.pad(tsdf_f, ((0, 0), (0, pad)))
-                weight_f = jnp.pad(weight_f, ((0, 0), (0, pad)))
-                rem_f = jnp.pad(rem_f, ((0, 0), (0, pad)))
-                label_f = jnp.pad(label_f, ((0, 0), (0, pad)))
+            tsdf_f = load(tsdf_ref).astype(jnp.float32)
+            weight_f = load(w_ref).astype(jnp.float32)
+            rem_f = load(rem_ref).astype(jnp.float32)
+            label_f = load(lab_ref).astype(jnp.float32)
 
+        # the reference's class-aware rule (fusion_lidar.py:191-228);
         # label ids compared as f32 (ids <= 259, exact)
         same = label_f == new_label
         w_new = weight_f + obs_w
@@ -175,16 +191,15 @@ def _geom_kernel(params_ref, v_out, *, Z, H, R, voxel_size):
 
     gx = jnp.float32(pl.program_id(0))
     y0 = pl.program_id(1) * R
-    PW = 128
-    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0)
+    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, _PW), 0)
           ).astype(jnp.float32)
     px = ox + gx * voxel_size
     py = oy + gy * voxel_size
     rxy2 = px * px + py * py
 
-    for zc in range(0, Z, PW):
-        width = min(PW, Z - zc)
-        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
+    for zc in range(0, Z, _PW):
+        width = min(_PW, Z - zc)
+        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, _PW), 1)
               + zc).astype(jnp.float32)
         pz = oz + gz * voxel_size
         pitch = _atan_poly(pz / jnp.maximum(jnp.sqrt(rxy2), 1e-12))
@@ -195,98 +210,107 @@ def _geom_kernel(params_ref, v_out, *, Z, H, R, voxel_size):
         v_out[0, :, zc:zc + width] = v[:, :width].astype(jnp.int8)
 
 
-def _kernel_pre(params_ref, dcol_ref, lrcol_ref,
-                v_ref,
-                tsdf_ref, w_ref, lab_ref, rem_ref,
-                out_tsdf, out_w, out_lab, out_rem,
-                *, Y, Z, H, CW, R, voxel_size, trunc, reset):
-    """Integrate with a precomputed v table (i8): skips the atan chain —
-    the dominant per-voxel cost; depth stays one in-kernel sqrt."""
-    ox = params_ref[0, 0]
-    oy = params_ref[0, 1]
-    oz = params_ref[0, 2]
-    obs_w = params_ref[0, 5]
-    ay = params_ref[0, 6]
-    az = params_ref[0, 7]
-    ax = params_ref[1, 0]
+def _col_width(H: int) -> int:
+    if H <= 64:
+        return 64
+    if H <= 128:
+        return 128
+    raise ValueError(f"pallas integrate supports H <= 128 beams, got {H}")
 
-    gx = jnp.float32(pl.program_id(0))
-    y0 = pl.program_id(1) * R
-    PW = 128
-    gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0)
-          ).astype(jnp.float32)
-    px = ox + gx * voxel_size
-    py = oy + gy * voxel_size
-    rxy2 = px * px + py * py
-    in_crop_xy = (gx < ax) & (gy < ay)
 
-    dcol = dcol_ref[0].T
-    lrcol = lrcol_ref[0].T
-    if CW < PW:
-        pad = ((0, 0), (0, PW - CW))
-        dcol = jnp.pad(dcol, pad)
-        lrcol = jnp.pad(lrcol, pad)
+def supports(spec: VolumeSpec, H: int) -> bool:
+    X, Y, Z = spec.dims
+    return H <= 128 and Y % min(Y, 1024) == 0
 
-    for zc in range(0, Z, PW):
-        width = min(PW, Z - zc)
-        gz = (jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
-              + zc).astype(jnp.float32)
 
-        def load(ref, w=width):
-            blk = ref[0, :, zc:zc + w]
-            if w < PW:
-                blk = jnp.pad(blk, ((0, 0), (0, PW - w)))
-            return blk
+def _params(origin, fov_up_deg, fov_down_deg, obs_weight, active_dims):
+    p = jnp.zeros((2, 8), jnp.float32)
+    p = p.at[0, :].set(jnp.stack([
+        origin[0], origin[1], origin[2],
+        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg),
+        obs_weight, active_dims[1], active_dims[2]]))
+    return p.at[1, 0].set(active_dims[0])
 
-        v_raw = load(v_ref).astype(jnp.int32)
-        in_fov = v_raw >= 0
-        v = jnp.maximum(v_raw, 0)
-        pz = oz + gz * voxel_size
-        depth = jnp.sqrt(rxy2 + pz * pz)
 
-        depth_val = jnp.take_along_axis(dcol, v, axis=1)
-        lr = jnp.take_along_axis(lrcol, v, axis=1)
-        new_label = jnp.floor(lr * (1.0 / 16384.0))
-        new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
+def _specs(Z, CW, BY):
+    state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
+                              memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((2, 8), lambda x, y: (0, 0),
+                             memory_space=pltpu.SMEM)
+    return state_spec, col_spec, smem_spec
 
-        diff = depth_val - depth
-        dist = jnp.minimum(1.0, diff / trunc)
-        active = (in_crop_xy & (gz < az) & in_fov & (depth_val > 0.0)
-                  & (diff >= -trunc))
 
-        if reset:
-            tsdf_f = jnp.float32(1.0)
-            weight_f = jnp.float32(0.0)
-            rem_f = jnp.float32(0.0)
-            label_f = jnp.float32(0.0)
-        else:
-            tsdf_f = load(tsdf_ref).astype(jnp.float32)
-            weight_f = load(w_ref).astype(jnp.float32)
-            rem_f = load(rem_ref).astype(jnp.float32)
-            label_f = load(lab_ref).astype(jnp.float32)
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "H", "W", "reset", "has_vtab",
+                     "interpret"),
+    donate_argnums=(0,))
+def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
+                           fov_up_deg, fov_down_deg, obs_weight,
+                           origin, active_dims, v_tab,
+                           dims, voxel_size, H, W, reset, has_vtab,
+                           interpret):
+    X, Y, Z = dims
+    CW = _col_width(H)
+    BY = min(Y, 1024)
 
-        same = label_f == new_label
-        w_new = weight_f + obs_w
-        tsdf_avg = (tsdf_f * weight_f + dist) / w_new
-        rem_avg = (rem_f * weight_f + new_rem) / w_new
-        closer = dist < weight_f
-        upd_same = active & same
-        upd_diff = active & (~same) & closer
+    # per-(x,y) image column index u (yaw depends only on x,y); gather
+    # CW-wide contiguous rows of the transposed image — no giant transpose
+    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 1)
+    px = origin[0] + gx * voxel_size
+    py = origin[1] + gy * voxel_size
+    yaw = -jnp.arctan2(py, px)
+    u = jnp.clip(jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * W),
+                 0, W - 1).astype(jnp.int32)
 
-        new_tsdf = jnp.where(upd_same, tsdf_avg,
-                             jnp.where(upd_diff, dist, tsdf_f))
-        new_w = jnp.where(upd_same, w_new, weight_f)
-        new_lab = jnp.where(upd_diff, new_label, label_f)
-        new_remv = jnp.where(upd_same, rem_avg,
-                             jnp.where(upd_diff, new_rem, rem_f))
+    def cols_of(img):
+        img = img.astype(jnp.float32)
+        if CW > H:
+            img = jnp.pad(img, ((0, CW - H), (0, 0)))        # (CW, W)
+        c = jnp.take(img, u, axis=1)                         # (CW, X, Y)
+        # layout (X, CW, Y): minor dim Y -> no tiled-lane padding in HBM
+        return jnp.transpose(c, (1, 0, 2))
 
-        out_tsdf[0, :, zc:zc + width] = \
-            new_tsdf[:, :width].astype(out_tsdf.dtype)
-        out_w[0, :, zc:zc + width] = new_w[:, :width].astype(out_w.dtype)
-        out_lab[0, :, zc:zc + width] = \
-            new_lab[:, :width].astype(out_lab.dtype)
-        out_rem[0, :, zc:zc + width] = \
-            new_remv[:, :width].astype(out_rem.dtype)
+    dcol = cols_of(depth_im)
+    # pack label + 14-bit remission into one f32 column array (one fewer
+    # in-kernel gather and ~1 GB less HBM at reference scale)
+    packed = (label_im.astype(jnp.float32) * 16384.0
+              + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
+    lrcol = cols_of(packed)
+
+    params = _params(origin, fov_up_deg, fov_down_deg, obs_weight,
+                     active_dims)
+    state_spec, col_spec, smem_spec = _specs(Z, CW, BY)
+    # reset mode never reads prior state: leave the aliased inputs in HBM
+    # (ANY) so the pipeline skips 4 full-volume DMA reads per frame
+    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
+                     else state_spec)
+
+    kernel = functools.partial(
+        _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY,
+        voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
+        reset=reset, has_vtab=has_vtab)
+
+    vtab_specs = [state_spec] if has_vtab else []
+    vtab_args = (v_tab,) if has_vtab else ()
+    alias_base = 3 + len(vtab_specs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(X, Y // BY),
+        in_specs=[smem_spec, col_spec, col_spec, *vtab_specs,
+                  *([state_in_spec] * 4)],
+        out_specs=(state_spec,) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
+        input_output_aliases={alias_base + i: i for i in range(4)},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(params, dcol, lrcol, *vtab_args, *state)
+    return TSDFState(*out)
 
 
 @functools.partial(
@@ -296,20 +320,16 @@ def _precompute_geometry_impl(fov_up_deg, fov_down_deg, origin,
                               dims, voxel_size, H, interpret):
     X, Y, Z = dims
     BY = min(Y, 1024)
-    params = jnp.zeros((2, 8), jnp.float32)
-    params = params.at[0, :5].set(jnp.stack([
-        origin[0], origin[1], origin[2],
-        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg)]))
-    spec3 = lambda: pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),  # noqa
-                                 memory_space=pltpu.VMEM)
+    params = _params(origin, fov_up_deg, fov_down_deg,
+                     jnp.float32(0.0), jnp.zeros(3, jnp.float32))
+    state_spec, _, smem_spec = _specs(Z, 64, BY)
     kernel = functools.partial(
         _geom_kernel, Z=Z, H=H, R=BY, voxel_size=float(voxel_size))
     return pl.pallas_call(
         kernel,
         grid=(X, Y // BY),
-        in_specs=[pl.BlockSpec((2, 8), lambda x, y: (0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=spec3(),
+        in_specs=[smem_spec],
+        out_specs=state_spec,
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -334,169 +354,6 @@ def precompute_geometry(spec: VolumeSpec, fov_up_deg, fov_down_deg, H,
         interpret=interpret)
 
 
-def _col_width(H: int) -> int:
-    if H <= 64:
-        return 64
-    if H <= 128:
-        return 128
-    raise ValueError(f"pallas integrate supports H <= 128 beams, got {H}")
-
-
-def supports(spec: VolumeSpec, H: int) -> bool:
-    X, Y, Z = spec.dims
-    return H <= 128 and Y % min(Y, 1024) == 0
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("dims", "voxel_size", "H", "W", "reset", "interpret"),
-    donate_argnums=(0,))
-def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
-                           fov_up_deg, fov_down_deg, obs_weight,
-                           origin, active_dims,
-                           dims, voxel_size, H, W, reset, interpret):
-    X, Y, Z = dims
-    CW = _col_width(H)
-    BY = min(Y, 1024)
-
-    # per-(x,y) image column index u (yaw depends only on x,y); gather
-    # 64-wide contiguous rows of the transposed image — no giant transpose
-    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 0)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 1)
-    px = origin[0] + gx * voxel_size
-    py = origin[1] + gy * voxel_size
-    yaw = -jnp.arctan2(py, px)
-    u = jnp.clip(jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * W),
-                 0, W - 1).astype(jnp.int32).reshape(-1)
-
-    def cols_of(img):
-        img = img.astype(jnp.float32)
-        if CW > H:
-            img = jnp.pad(img, ((0, CW - H), (0, 0)))        # (CW, W)
-        c = jnp.take(img, u.reshape(X, Y), axis=1)           # (CW, X, Y)
-        # layout (X, CW, Y): minor dim Y -> no tiled-lane padding in HBM
-        return jnp.transpose(c, (1, 0, 2))
-
-    dcol = cols_of(depth_im)
-    # pack label + 14-bit remission into one f32 column array (one fewer
-    # in-kernel gather and ~1 GB less HBM at reference scale)
-    packed = (label_im.astype(jnp.float32) * 16384.0
-              + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
-    lrcol = cols_of(packed)
-
-    params = jnp.zeros((2, 8), jnp.float32)
-    params = params.at[0, :].set(jnp.stack([
-        origin[0], origin[1], origin[2],
-        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg),
-        obs_weight, active_dims[1], active_dims[2]]))
-    params = params.at[1, 0].set(active_dims[0])
-
-    kernel = functools.partial(
-        _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY,
-        voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
-        reset=reset)
-
-    state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
-                              memory_space=pltpu.VMEM)
-    # reset mode never reads prior state: leave the aliased inputs in HBM
-    # (ANY) so the pipeline skips 4 full-volume DMA reads per frame
-    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
-                     else state_spec)
-    col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(X, Y // BY),
-        in_specs=[
-            pl.BlockSpec((2, 8), lambda x, y: (0, 0),
-                         memory_space=pltpu.SMEM),
-            col_spec, col_spec,
-            state_in_spec, state_in_spec, state_in_spec, state_in_spec,
-        ],
-        out_specs=(state_spec, state_spec, state_spec, state_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(params, dcol, lrcol, *state)
-    return TSDFState(*out)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("dims", "voxel_size", "H", "W", "reset", "interpret"),
-    donate_argnums=(0,))
-def _integrate_pallas_pre_impl(state: TSDFState, depth_im, label_im, rem_im,
-                               fov_up_deg, fov_down_deg, obs_weight,
-                               origin, active_dims, v_tab,
-                               dims, voxel_size, H, W, reset, interpret):
-    X, Y, Z = dims
-    CW = _col_width(H)
-    BY = min(Y, 1024)
-
-    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 0)
-    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 1)
-    px = origin[0] + gx * voxel_size
-    py = origin[1] + gy * voxel_size
-    yaw = -jnp.arctan2(py, px)
-    u = jnp.clip(jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * W),
-                 0, W - 1).astype(jnp.int32).reshape(-1)
-
-    def cols_of(img):
-        img = img.astype(jnp.float32)
-        if CW > H:
-            img = jnp.pad(img, ((0, CW - H), (0, 0)))
-        c = jnp.take(img, u.reshape(X, Y), axis=1)
-        return jnp.transpose(c, (1, 0, 2))
-
-    dcol = cols_of(depth_im)
-    # pack label + 14-bit remission into one f32 column array (one fewer
-    # in-kernel gather and ~1 GB less HBM at reference scale)
-    packed = (label_im.astype(jnp.float32) * 16384.0
-              + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
-    lrcol = cols_of(packed)
-
-    params = jnp.zeros((2, 8), jnp.float32)
-    params = params.at[0, :].set(jnp.stack([
-        origin[0], origin[1], origin[2],
-        jnp.deg2rad(fov_up_deg), jnp.deg2rad(fov_down_deg),
-        obs_weight, active_dims[1], active_dims[2]]))
-    params = params.at[1, 0].set(active_dims[0])
-
-    kernel = functools.partial(
-        _kernel_pre, Y=Y, Z=Z, H=H, CW=CW, R=BY,
-        voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
-        reset=reset)
-
-    state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
-                              memory_space=pltpu.VMEM)
-    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
-                     else state_spec)
-    col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(X, Y // BY),
-        in_specs=[
-            pl.BlockSpec((2, 8), lambda x, y: (0, 0),
-                         memory_space=pltpu.SMEM),
-            col_spec, col_spec,
-            state_spec,                       # v geometry table
-            state_in_spec, state_in_spec, state_in_spec, state_in_spec,
-        ],
-        out_specs=(state_spec, state_spec, state_spec, state_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(params, dcol, lrcol, v_tab, *state)
-    return TSDFState(*out)
-
-
 def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      rem_im, *, fov_up_deg, fov_down_deg,
                      obs_weight: float = 1.0, origin=None, active_dims=None,
@@ -504,9 +361,9 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      interpret: bool = False) -> TSDFState:
     """Pallas-backed drop-in for ops.tsdf.integrate (same semantics).
 
-    ``geom``: optional (v i8, depth i16) tables from
-    ``precompute_geometry`` — skips the per-voxel sqrt/atan chain when the
-    volume placement is frame-invariant (fixed_bounds).
+    ``geom``: optional v-table from ``precompute_geometry`` — skips the
+    per-voxel atan chain when the volume placement is frame-invariant
+    (fixed_bounds).
     """
     if origin is None:
         origin = jnp.asarray(spec.origin, jnp.float32)
@@ -516,19 +373,13 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
     if not supports(spec, H):
         raise ValueError(
             f"unsupported dims {spec.dims} / H {H} for the pallas "
-            "integrate (need H<=128, X*Y % 1024 == 0)")
-    if geom is not None:
-        return _integrate_pallas_pre_impl(
-            state, depth_im, label_im.astype(jnp.int32), rem_im,
-            jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
-            jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
-            jnp.asarray(active_dims, jnp.float32), geom,
-            dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W,
-            reset=reset, interpret=interpret)
+            "integrate (need H<=128, Y % min(Y,1024) == 0)")
+    has_vtab = geom is not None
+    v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
     return _integrate_pallas_impl(
         state, depth_im, label_im.astype(jnp.int32), rem_im,
         jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
         jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
-        jnp.asarray(active_dims, jnp.float32),
+        jnp.asarray(active_dims, jnp.float32), v_tab,
         dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W,
-        reset=reset, interpret=interpret)
+        reset=reset, has_vtab=has_vtab, interpret=interpret)

@@ -189,7 +189,7 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
                        valid=valid, rel_pose=rel_pose, primary_index=0)
         state = (engine.vol_spec.init_state_compact()
                  if engine.compact_volume else engine.vol_spec.init_state())
-        rng, lbl, rem, ends, mask, _, _ = engine._mergemesh_core(w, state)
+        rng, lbl, rem, ends, mask, _, _, _ = engine._mergemesh_core(w, state)
         return rng, lbl, rem, ends, mask
 
     def local(points, remissions, labels, valid, rel_pose):

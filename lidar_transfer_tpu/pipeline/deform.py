@@ -292,10 +292,14 @@ class TransferEngine:
               if t.beam_angles is not None else None)
         rays, origins = RC.generate_rays_moving(
             t.H, t.W, t.fov_up, t.fov_down, pose_next, beam_angles=ba)
+        # the fused volume's ACTUAL placement: with per-frame clipped
+        # bounds this differs from vol_spec.origin by meters
+        vol_origin = jnp.asarray(
+            getattr(self, "_last_origin", self.vol_spec.origin),
+            jnp.float32)
         res = RC.raycast_tsdf(
             state, self.vol_spec, jnp.asarray(rays), jnp.asarray(origins),
-            t.H, t.W, fine_step=2.0,
-            vol_origin=jnp.asarray(self.vol_spec.origin, jnp.float32))
+            t.H, t.W, fine_step=2.0, vol_origin=vol_origin)
         return VirtualScan(range=res.range, label=res.label,
                            remission=res.remission, points=res.endpoints,
                            mask=res.hit, adaption="mergemesh-rolling")
@@ -321,8 +325,9 @@ class TransferEngine:
                                "transfer first")
         tsdf = np.asarray(state.tsdf, np.float32)
         tris = marching_tetrahedra(tsdf, 0.0)
-        world = (tris * self.vol_spec.voxel_size
-                 + np.asarray(self.vol_spec.origin, np.float32))
+        origin = np.asarray(getattr(self, "_last_origin",
+                                    self.vol_spec.origin), np.float32)
+        world = tris * self.vol_spec.voxel_size + origin
         verts = world.reshape(-1, 3)
         faces = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
         colors = None
@@ -369,7 +374,7 @@ class TransferEngine:
             state, origin, active,
             [(ri, self.target.fov_up, self.target.fov_down)], pts, valid)
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
-                ri, state)
+                ri, state, origin)
 
     def mergemesh(self, window: ScanWindow
                   ) -> tuple[VirtualScan, P.RangeImage]:
@@ -393,8 +398,9 @@ class TransferEngine:
             out = fn(window, self._take_state(), geom)
         else:
             out = self._mergemesh_core(window, self._take_state(), geom)
-        rng, lbl, rem, ends, mask, ri, state = out
+        rng, lbl, rem, ends, mask, ri, state, origin = out
         self._keep_state(state)
+        self._last_origin = origin      # actual fused-volume placement
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mergemesh")
         return vs, ri
@@ -427,7 +433,7 @@ class TransferEngine:
         vs = self._synthesize(state, origin, active, fused,
                               flat_pts, flat_valid)
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
-                ri0, state)
+                ri0, state, origin)
 
     def mesh(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
         """Per-scan TSDF adaption ≡ laserscan.py:863-918: each scan gets
@@ -443,8 +449,9 @@ class TransferEngine:
             out = fn(window, self._take_state(), geom)
         else:
             out = self._mesh_core(window, self._take_state(), geom)
-        rng, lbl, rem, ends, mask, ri0, state = out
+        rng, lbl, rem, ends, mask, ri0, state, origin = out
         self._keep_state(state)
+        self._last_origin = origin
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mesh")
         return vs, ri0

@@ -50,6 +50,12 @@ def min_start_index(nscans: int) -> int:
     return nscans // 2
 
 
+def max_end_index(nscans: int, length: int) -> int:
+    """One past the last valid primary index: the centered window needs
+    only ``nscans - nscans//2 - 1`` future scans (window_indices)."""
+    return length - (nscans - nscans // 2 - 1)
+
+
 @dataclasses.dataclass
 class ScanWindow:
     """A padded window of scans. Points are raw (sensor frame); ``rel_pose``
