@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Export the fused surface mesh of each frame as "
                         "PLY into this directory (opt-in; the reference "
                         "unconditionally wrote test.ply per frame).")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Capture a jax profiler trace of the run into "
+                        "this directory (view with TensorBoard). Replaces "
+                        "the reference's print-based timing, SURVEY.md §5.")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend.")
     return p
@@ -140,6 +144,11 @@ def main(argv=None) -> int:
     frames_done = 0
     all_metrics = []
 
+    profiler_ctx = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profiler_ctx = args.profile
+
     while idx < end:
         timer = StageTimer()
         t0 = time.time()
@@ -212,6 +221,10 @@ def main(argv=None) -> int:
             break
         idx += increment
         print("#" * 30, args.sequence, "-", idx, "/", len(seq), "#" * 30)
+
+    if profiler_ctx:
+        jax.profiler.stop_trace()
+        print(f"profiler trace in {profiler_ctx}")
 
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:

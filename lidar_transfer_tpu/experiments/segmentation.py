@@ -95,13 +95,38 @@ def _frame_tensors(seq, idx, spec, capacity, mapper, cfg):
     return np.asarray(feats), lbl_idx.astype(np.int32), weights
 
 
+def save_checkpoint(path: str, model, params, mapper, spec) -> None:
+    """Serialize a trained model bundle (readable by ``load_checkpoint``
+    and the lt-seg infer CLI)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump({"params": params, "mapper": mapper, "spec": spec,
+                     "model_cfg": model.cfg}, f)
+
+
+def load_checkpoint(path: str):
+    """-> (model, params, mapper, spec)."""
+    import pickle
+
+    from lidar_transfer_tpu.models import RangeNet
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return (RangeNet(blob["model_cfg"]), blob["params"], blob["mapper"],
+            blob["spec"])
+
+
 def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
                        batch_size: int = 1, learning_rate: float = 1e-3,
                        model_cfg=None, cfg=None, seed: int = 0,
                        width: int | None = None, verbose: bool = True,
-                       use_mesh: bool = True):
+                       use_mesh: bool = True, checkpoint_path=None,
+                       checkpoint_every: int = 0):
     """Train RangeNet on a KITTI-format dataset. Returns (model, params,
-    mapper, spec)."""
+    mapper, spec). ``checkpoint_every`` > 0 writes ``checkpoint_path``
+    every N steps (resume-friendly: long jobs survive interruption —
+    the reference had no checkpointing at all, SURVEY.md §5)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P_
@@ -168,6 +193,9 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
         losses.append(float(loss))
         if verbose and (step % 10 == 0 or step == steps - 1):
             print(f"step {step}: loss {float(loss):.4f}")
+        if (checkpoint_path and checkpoint_every
+                and (step + 1) % checkpoint_every == 0):
+            save_checkpoint(checkpoint_path, model, params, mapper, spec)
     return model, params, mapper, spec
 
 
@@ -277,6 +305,8 @@ def main(argv=None) -> int:
     pt.add_argument("--tiny", action="store_true",
                     help="Tiny model (tests/smoke).")
     pt.add_argument("--out", default="seg_model.pkl")
+    pt.add_argument("--save-every", type=int, default=0,
+                    help="Checkpoint --out every N steps (resumable).")
     pt.add_argument("--cpu", action="store_true")
 
     pi = sub.add_parser("infer")
@@ -311,19 +341,14 @@ def main(argv=None) -> int:
         model, params, mapper, spec = train_segmentation(
             args.dataset, sequences=tuple(args.sequences),
             steps=args.steps, batch_size=args.batch_size,
-            learning_rate=args.lr, model_cfg=model_cfg)
-        with open(args.out, "wb") as f:
-            pickle.dump({"params": params, "mapper": mapper,
-                         "spec": spec, "model_cfg": model.cfg}, f)
+            learning_rate=args.lr, model_cfg=model_cfg,
+            checkpoint_path=args.out, checkpoint_every=args.save_every)
+        save_checkpoint(args.out, model, params, mapper, spec)
         print(f"model written to {args.out}")
     elif args.cmd == "infer":
-        from lidar_transfer_tpu.models import RangeNet
-
-        with open(args.model, "rb") as f:
-            blob = pickle.load(f)
-        model = RangeNet(blob["model_cfg"])
+        model, params, mapper, spec = load_checkpoint(args.model)
         n = write_predictions(args.dataset, args.out, model,
-                              blob["params"], blob["mapper"], blob["spec"],
+                              params, mapper, spec,
                               sequences=tuple(args.sequences))
         print(f"{n} scans inferred")
     else:
