@@ -66,16 +66,14 @@ def _atan_poly(x):
 
 
 def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
-            Y, Z, H, CW, R, voxel_size, trunc, reset, has_vtab):
-    """One grid step: update one (x, y-tile) slab of the volume.
+            Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab):
+    """One grid step: update BX x-planes' (y-tile) slabs of the volume.
 
-    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4 state-out refs.
+    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4 state-out refs
+    (forwarded untouched to _kernel_plane, which unpacks them).
+    BX > 1 amortizes the per-grid-step overhead (~20 us each through the
+    remote runtime) over more voxels; bounded by VMEM.
     """
-    if has_vtab:
-        v_ref, refs = refs[0], refs[1:]
-    tsdf_ref, w_ref, lab_ref, rem_ref = refs[0:4]
-    out_tsdf, out_w, out_lab, out_rem = refs[4:8]
-
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
     oz = params_ref[0, 2]
@@ -87,10 +85,28 @@ def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
     ax = params_ref[1, 0]
     fov = jnp.abs(fov_up) + jnp.abs(fov_down)
 
-    gx = jnp.float32(pl.program_id(0))        # one x-plane per grid row
     y0 = pl.program_id(1) * R
     gy = (y0 + jax.lax.broadcasted_iota(jnp.int32, (R, _PW), 0)
           ).astype(jnp.float32)
+
+    for bx in range(BX):
+        _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx,
+                      gy, ox, oy, oz, fov_up, fov_down, fov, obs_w,
+                      ax, ay, az, Y=Y, Z=Z, H=H, CW=CW, R=R, BX=BX,
+                      voxel_size=voxel_size, trunc=trunc, reset=reset,
+                      has_vtab=has_vtab)
+
+
+def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
+                  ox, oy, oz, fov_up, fov_down, fov, obs_w, ax, ay, az,
+                  *, Y, Z, H, CW, R, BX, voxel_size, trunc, reset,
+                  has_vtab):
+    if has_vtab:
+        v_ref, refs = refs[0], refs[1:]
+    tsdf_ref, w_ref, lab_ref, rem_ref = refs[0:4]
+    out_tsdf, out_w, out_lab, out_rem = refs[4:8]
+
+    gx = (jnp.float32(pl.program_id(0)) * BX + bx)
     px = ox + gx * voxel_size
     py = oy + gy * voxel_size
     rxy2 = px * px + py * py
@@ -99,8 +115,8 @@ def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
     # cols arrive as (CW, BY) — Y-minor HBM layout avoids the 2x lane
     # padding a (rows, 64)-minor layout would cost; transpose the small
     # block (~256 KB) in VMEM and pad to full register width
-    dcol = dcol_ref[0].T
-    lrcol = lrcol_ref[0].T
+    dcol = dcol_ref[bx].T
+    lrcol = lrcol_ref[bx].T
     if CW < _PW:
         pad = ((0, 0), (0, _PW - CW))
         dcol = jnp.pad(dcol, pad)
@@ -109,8 +125,8 @@ def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
     for zc in range(0, Z, _PW):
         width = min(_PW, Z - zc)
 
-        def load(ref, w=width):
-            blk = ref[0, :, zc:zc + w]
+        def load(ref, w=width, b=bx):
+            blk = ref[b, :, zc:zc + w]
             if w < _PW:
                 blk = jnp.pad(blk, ((0, 0), (0, _PW - w)))
             return blk
@@ -169,12 +185,12 @@ def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
         new_remv = jnp.where(upd_same, rem_avg,
                              jnp.where(upd_diff, new_rem, rem_f))
 
-        out_tsdf[0, :, zc:zc + width] = \
+        out_tsdf[bx, :, zc:zc + width] = \
             new_tsdf[:, :width].astype(out_tsdf.dtype)
-        out_w[0, :, zc:zc + width] = new_w[:, :width].astype(out_w.dtype)
-        out_lab[0, :, zc:zc + width] = \
+        out_w[bx, :, zc:zc + width] = new_w[:, :width].astype(out_w.dtype)
+        out_lab[bx, :, zc:zc + width] = \
             new_lab[:, :width].astype(out_lab.dtype)
-        out_rem[0, :, zc:zc + width] = \
+        out_rem[bx, :, zc:zc + width] = \
             new_remv[:, :width].astype(out_rem.dtype)
 
 
@@ -232,10 +248,10 @@ def _params(origin, fov_up_deg, fov_down_deg, obs_weight, active_dims):
     return p.at[1, 0].set(active_dims[0])
 
 
-def _specs(Z, CW, BY):
-    state_spec = pl.BlockSpec((1, BY, Z), lambda x, y: (x, y, 0),
+def _specs(Z, CW, BY, BX=1):
+    state_spec = pl.BlockSpec((BX, BY, Z), lambda x, y: (x, y, 0),
                               memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((1, CW, BY), lambda x, y: (x, 0, y),
+    col_spec = pl.BlockSpec((BX, CW, BY), lambda x, y: (x, 0, y),
                             memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec((2, 8), lambda x, y: (0, 0),
                              memory_space=pltpu.SMEM)
@@ -255,6 +271,9 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     X, Y, Z = dims
     CW = _col_width(H)
     BY = min(Y, 1024)
+    # reset mode keeps the aliased inputs out of VMEM, leaving room to
+    # process 2 x-planes per grid step (halves per-step overhead)
+    BX = 2 if (reset and X % 2 == 0) else 1
 
     # per-(x,y) image column index u (yaw depends only on x,y); gather
     # CW-wide contiguous rows of the transposed image — no giant transpose
@@ -283,14 +302,14 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
 
     params = _params(origin, fov_up_deg, fov_down_deg, obs_weight,
                      active_dims)
-    state_spec, col_spec, smem_spec = _specs(Z, CW, BY)
+    state_spec, col_spec, smem_spec = _specs(Z, CW, BY, BX)
     # reset mode never reads prior state: leave the aliased inputs in HBM
     # (ANY) so the pipeline skips 4 full-volume DMA reads per frame
-    state_in_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if reset
+    state_in_spec = (pl.BlockSpec(memory_space=pl.ANY) if reset
                      else state_spec)
 
     kernel = functools.partial(
-        _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY,
+        _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
         reset=reset, has_vtab=has_vtab)
 
@@ -299,7 +318,7 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     alias_base = 3 + len(vtab_specs)
     out = pl.pallas_call(
         kernel,
-        grid=(X, Y // BY),
+        grid=(X // BX, Y // BY),
         in_specs=[smem_spec, col_spec, col_spec, *vtab_specs,
                   *([state_in_spec] * 4)],
         out_specs=(state_spec,) * 4,
@@ -307,7 +326,9 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
             jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
         input_output_aliases={alias_base + i: i for i in range(4)},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # BX=2 sits ~28 KB over the default 16 MB scoped budget
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params, dcol, lrcol, *vtab_args, *state)
     return TSDFState(*out)
