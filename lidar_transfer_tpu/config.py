@@ -62,7 +62,10 @@ class SensorSpec:
     fov_down: float = -25.0         # degrees (negative = below horizon)
     fov_hor: float = 360.0          # degrees
     angle_res_hor: float = 0.17578125  # degrees/pixel -> W = 2048
-    beam_angles: tuple[float, ...] | None = None  # radians, sorted if present
+    # RADIANS, ascending (yaml carries DEGREES like fov_up/fov_down;
+    # from_dict converts — the conversion the reference left as a TODO,
+    # laserscan.py:25, and consequently never applied)
+    beam_angles: tuple[float, ...] | None = None
 
     @property
     def H(self) -> int:
@@ -77,7 +80,8 @@ class SensorSpec:
     def from_dict(cls, d: Mapping) -> "SensorSpec":
         beam_angles = d.get("beam_angles")
         if beam_angles is not None:
-            beam_angles = tuple(sorted(float(b) for b in beam_angles))
+            beam_angles = tuple(sorted(
+                float(np.deg2rad(b)) for b in beam_angles))
         return cls(
             name=str(d.get("name", "generic")),
             beams=int(d["beams"]),
@@ -103,7 +107,8 @@ class SensorSpec:
             "angle_res_hor": self.angle_res_hor,
         }
         if self.beam_angles is not None:
-            d["beam_angles"] = list(self.beam_angles)
+            d["beam_angles"] = [float(np.rad2deg(b))
+                                for b in self.beam_angles]
         return d
 
 

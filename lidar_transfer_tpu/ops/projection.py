@@ -140,23 +140,46 @@ def project_uv(points: jax.Array, fov_up_deg: jax.Array,
     return u, v, depth
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "method"))
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "method", "beam_rows"))
 def _range_project_impl(points, remissions, labels, valid,
                         fov_up_deg, fov_down_deg, beam_angles, H, W,
-                        method="sort"):
+                        method="sort", beam_rows=False):
     n = points.shape[0]
-    u, v, depth = project_uv(points, fov_up_deg, fov_down_deg, beam_angles)
 
-    # remove zero-depth (padding + degenerate) points — laserscan.py:307-310
-    valid = valid & (depth > 0.0)
-    # remove=True: drop points outside vertical FOV — laserscan.py:334-342
-    valid = valid & (v >= 0.0) & (v <= 1.0)
+    if beam_rows:
+        # TARGET-grid semantics for sensors with explicit beam angles:
+        # image row i IS beam i (descending pitch), matching
+        # raycast.generate_rays — NOT the reference's snap-then-
+        # equidistant-row source projection (laserscan.py:233-242), which
+        # collides non-uniform beams into shared rows. Points assign to
+        # the row of their nearest beam.
+        depth, yaw, pitch = spherical_angles(points)
+        ba_desc = -jnp.sort(-beam_angles)                   # row 0 = top
+        row = jnp.argmin(jnp.abs(pitch[:, None] - ba_desc[None, :]),
+                         axis=1).astype(jnp.int32)
+        valid = valid & (depth > 0.0)
+        u = 0.5 * (yaw / jnp.pi + 1.0)
+        uf = u * W
+        vf = row.astype(jnp.float32) + 0.5
+        px = jnp.clip(jnp.floor(uf), 0, W - 1).astype(jnp.int32)
+        py = row
+    else:
+        u, v, depth = project_uv(points, fov_up_deg, fov_down_deg,
+                                 beam_angles)
 
-    uf = u * W                                             # in [0, W]
-    vf = v * H                                             # in [0, H]
-    # floor + clamp exactly as laserscan.py:352-357
-    px = jnp.clip(jnp.floor(uf), 0, W - 1).astype(jnp.int32)
-    py = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
+        # remove zero-depth (padding + degenerate) points —
+        # laserscan.py:307-310
+        valid = valid & (depth > 0.0)
+        # remove=True: drop points outside vertical FOV —
+        # laserscan.py:334-342
+        valid = valid & (v >= 0.0) & (v <= 1.0)
+
+        uf = u * W                                         # in [0, W]
+        vf = v * H                                         # in [0, H]
+        # floor + clamp exactly as laserscan.py:352-357
+        px = jnp.clip(jnp.floor(uf), 0, W - 1).astype(jnp.int32)
+        py = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
 
     npix = H * W
     # invalid points scatter into an overflow segment
@@ -206,7 +229,8 @@ def _range_project_impl(points, remissions, labels, valid,
 def range_project(points: jax.Array, remissions: jax.Array,
                   labels: jax.Array, valid: jax.Array, *,
                   H: int, W: int, fov_up_deg, fov_down_deg,
-                  beam_angles=None, method: str = "sort") -> RangeImage:
+                  beam_angles=None, method: str = "sort",
+                  beam_rows: bool = False) -> RangeImage:
     """Project a padded point set into an (H,W) spherical range image.
 
     Nearest-point-per-pixel z-buffer semantics identical to the reference's
@@ -228,7 +252,7 @@ def range_project(points: jax.Array, remissions: jax.Array,
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
     return _range_project_impl(points, remissions, labels, valid,
                                fov_up_deg, fov_down_deg, beam_angles,
-                               H, W, method)
+                               H, W, method, beam_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("preserve_float",))

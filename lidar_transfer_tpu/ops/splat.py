@@ -188,7 +188,9 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
     ri = P.range_project(pos, rem_v, label_v, valid,
                          H=target_H, W=target_W,
                          fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
-                         beam_angles=beam_angles)
+                         beam_angles=beam_angles,
+                         # row i = beam i, matching generate_rays
+                         beam_rows=beam_angles is not None)
 
     # zero-crossing correction along the (co-centered) target ray:
     # t_surface = t_sample + tsdf * trunc  (tsdf <= 0 pulls toward sensor)
@@ -198,9 +200,22 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                     jnp.maximum(ri.range + tsdf_win * spec.trunc_margin,
                                 0.0),
                     0.0)
-    scale = jnp.where(ri.range > 0, rng / jnp.maximum(ri.range, 1e-6), 0.0)
-    endpoints = (pos[win].reshape(target_H, target_W, 3)
-                 * scale[..., None])
+    if beam_angles is not None:
+        # rows are exact hardware beams (generate_rays convention):
+        # endpoints lie ON the beam directions, not on the winning
+        # sample's (within-capture-zone) source ray
+        ba_desc = -jnp.sort(-jnp.asarray(beam_angles, jnp.float32))
+        pitch = ba_desc[:, None]                          # (H, 1)
+        yaw = (ri.u_float / target_W * 2.0 - 1.0) * jnp.pi
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        dirs = jnp.stack([cp * jnp.cos(-yaw), cp * jnp.sin(-yaw),
+                          jnp.broadcast_to(sp, yaw.shape)], axis=-1)
+        endpoints = dirs * rng[..., None]
+    else:
+        scale = jnp.where(ri.range > 0,
+                          rng / jnp.maximum(ri.range, 1e-6), 0.0)
+        endpoints = (pos[win].reshape(target_H, target_W, 3)
+                     * scale[..., None])
     return (rng, jnp.where(ri.mask, ri.label, 0),
             jnp.where(ri.mask, jnp.maximum(ri.remission, 0.0), 0.0),
             endpoints, ri.mask)

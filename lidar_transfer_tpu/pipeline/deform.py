@@ -93,7 +93,8 @@ class TransferEngine:
 
     def __post_init__(self):
         t = self.target
-        ba = (np.deg2rad(t.beam_angles)
+        # SensorSpec.beam_angles are already radians (config.py)
+        ba = (np.asarray(t.beam_angles)
               if t.beam_angles is not None else None)
         # NOTE: unlike the reference (laserscan.py:743-747 reads the
         # *source* beam_angles for the target), we use the target's.
@@ -101,7 +102,7 @@ class TransferEngine:
             t.H, t.W, t.fov_up, t.fov_down, beam_angles=ba))
         self.t_beam_angles = (jnp.asarray(ba, jnp.float32)
                               if ba is not None else None)
-        sba = (np.deg2rad(self.source.beam_angles)
+        sba = (np.asarray(self.source.beam_angles)
                if self.source.beam_angles is not None else None)
         self.s_beam_angles = (jnp.asarray(sba, jnp.float32)
                               if sba is not None else None)
@@ -288,7 +289,8 @@ class TransferEngine:
             raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
                                "transfer first")
         t = self.target
-        ba = (np.deg2rad(t.beam_angles)
+        # SensorSpec.beam_angles are already radians (config.py)
+        ba = (np.asarray(t.beam_angles)
               if t.beam_angles is not None else None)
         rays, origins = RC.generate_rays_moving(
             t.H, t.W, t.fov_up, t.fov_down, pose_next, beam_angles=ba)

@@ -164,7 +164,7 @@ def main(argv=None) -> int:
                                              len(seq) - args.offset)
     capacity = kitti.scan_capacity(
         max(os.path.getsize(f) // 16 for f in seq.scan_files))
-    sba = (np.deg2rad(spec.beam_angles)
+    sba = (np.asarray(spec.beam_angles)        # already radians
            if spec.beam_angles is not None else None)
 
     for k in range(n):

@@ -176,3 +176,33 @@ def test_unknown_adaption_raises(synthetic_dataset, small_spec):
     window = load_window(seq, cfg, 2, CAP)
     with pytest.raises(ValueError):
         eng.transfer(window)
+
+
+def test_beam_angles_target(synthetic_dataset, small_spec):
+    """Target spec with explicit (non-equidistant) beam_angles: the full
+    mergemesh pipeline must produce rows at exactly those pitches."""
+    import numpy as np
+
+    angles_deg = [-20.0, -14.0, -9.0, -5.0, -2.0, 0.0, 2.0, 6.0]
+    target = SensorSpec(name="custom8", beams=8, fov_up=8.0,
+                        fov_down=-22.0, angle_res_hor=360.0 / 128.0,
+                        beam_angles=tuple(np.deg2rad(angles_deg)))
+    cfg = make_cfg(adaption="mergemesh", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, target, cfg, CAP)
+    window = load_window(seq, cfg, 2, CAP)
+    vs, _ = eng.transfer(window)
+    assert vs.range.shape == (8, 128)
+    mask = np.asarray(vs.mask)
+    # upward beams see sky and the -5/-2 deg ground rings fall outside the
+    # +-16 m volume; the downward beams must land
+    assert mask.mean() > 0.15
+    assert mask[-1].mean() > 0.9          # steepest beam: solid ground
+
+    # hit points' pitches must cluster on the requested beam angles
+    pts = np.asarray(vs.points)[mask]
+    pitch = np.arcsin(pts[:, 2] / np.maximum(
+        np.linalg.norm(pts, axis=1), 1e-9))
+    nearest = np.min(np.abs(pitch[:, None]
+                            - np.deg2rad(angles_deg)[None, :]), axis=1)
+    assert np.median(nearest) < np.deg2rad(1.0)
