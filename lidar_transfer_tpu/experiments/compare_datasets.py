@@ -16,14 +16,21 @@ import numpy as np
 
 def class_histogram(dataset: str, sequences=("00",),
                     max_label: int = 260) -> dict[int, int]:
-    """Total per-class point counts across the sequences' label files."""
+    """Total per-class point counts across the sequences' label files.
+
+    Walks labels/ directly (no poses/calib needed — raw transfer outputs
+    qualify)."""
     from lidar_transfer_tpu.datasets import kitti
-    from lidar_transfer_tpu.datasets.kitti import KittiSequence
 
     counts = np.zeros((max_label,), np.int64)
     for s in sequences:
-        seq = KittiSequence.open(dataset, s)
-        for f in seq.label_files:
+        lbl_dir = os.path.join(dataset, "sequences", s, "labels")
+        files = sorted(os.path.join(lbl_dir, f)
+                       for f in os.listdir(lbl_dir)
+                       if f.endswith(".label"))
+        if not files:
+            raise FileNotFoundError(f"no .label files under {lbl_dir}")
+        for f in files:
             lbl = kitti.read_label_file(f)
             counts += np.bincount(np.clip(lbl, 0, max_label - 1),
                                   minlength=max_label)
