@@ -25,6 +25,11 @@ problem (SURVEY.md §2.2 N9):
     work, and the state tiles are updated in place via
     input_output_aliases.
 
+Measured ceiling on this stack: Pallas OUTPUT writes sustain only
+~113 GB/s regardless of grid/block/payload shape (XLA writes the same
+buffers at near-HBM rate), so the 8 B/voxel state write sets a ~76 ms
+floor at reference scale — the kernel runs within ~1.5x of that.
+
 Two geometry modes share the same kernel body:
   - in-kernel: pitch via a minimax atan polynomial (Mosaic lowers no
     asin/atan2/atan) — works for any per-frame volume placement;
