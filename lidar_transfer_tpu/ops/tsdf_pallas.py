@@ -58,7 +58,10 @@ def _atan_poly(x):
 
     Odd minimax polynomial on [0,1] + the reflection
     atan(x) = pi/2 - atan(1/x) for |x| > 1. Max abs error ~1e-5 rad —
-    three orders below one image row (64 rows over ~0.5 rad)."""
+    three orders below one image row (64 rows over ~0.5 rad). Consequence:
+    voxels whose pitch lies within ~1e-5 rad of an FOV boundary may decide
+    in_fov differently from the exact-asin XLA path (measured ~1 voxel per
+    tens of millions); the differential tests tolerate exactly that band."""
     ax = jnp.abs(x)
     inv = ax > 1.0
     z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)

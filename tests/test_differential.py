@@ -54,13 +54,27 @@ def test_integrate_three_way(seed):
 
     np.testing.assert_allclose(np.asarray(xs.tsdf), nt, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(xs.label), nl)
-    np.testing.assert_allclose(np.asarray(xs.tsdf), np.asarray(ps.tsdf),
-                               atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(xs.label),
-                                  np.asarray(ps.label))
+
+    # pallas vs XLA: the kernel's minimax atan (~1e-5 rad) may flip the
+    # in_fov decision for voxels sitting exactly on the FOV boundary —
+    # assert any disagreement lies inside that epsilon band and nowhere
+    # else (tsdf_pallas._atan_poly docstring)
+    la, lp = np.asarray(xs.label), np.asarray(ps.label)
+    mism = np.argwhere(la != lp)
+    for ijk in mism:
+        pw = (np.asarray(spec.origin)
+              + np.asarray(ijk) * spec.voxel_size)
+        pitch = np.arcsin(pw[2] / max(np.linalg.norm(pw), 1e-12))
+        dist_to_edge = min(abs(pitch - np.deg2rad(fov_up)),
+                           abs(pitch - np.deg2rad(fov_down)))
+        assert dist_to_edge < 3e-5, (ijk, dist_to_edge)
+    assert len(mism) <= 3
+    ok = la == lp
+    np.testing.assert_allclose(np.asarray(xs.tsdf)[ok],
+                               np.asarray(ps.tsdf)[ok], atol=1e-5)
     # pallas remission rides the 14-bit packed channel
-    np.testing.assert_allclose(np.asarray(xs.rem), np.asarray(ps.rem),
-                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xs.rem)[ok],
+                               np.asarray(ps.rem)[ok], atol=2e-4)
     np.testing.assert_allclose(np.asarray(xs.rem), nr, atol=1e-5)
 
 
