@@ -148,7 +148,7 @@ def clip_bounds_to_cloud(config_bounds: np.ndarray, points: np.ndarray,
 def _integrate_block(state_block: TSDFState, depth_im, label_im, rem_im,
                      fov_up_deg, fov_down_deg, obs_weight,
                      origin, active_dims, x_offset, dims, voxel_size,
-                     reset=False):
+                     reset=False, write_weight=True):
     """Class-aware update of one X-slab of the volume (pure function).
 
     ``x_offset`` shifts the slab's grid-x coordinates; full-volume callers
@@ -243,23 +243,31 @@ def _integrate_block(state_block: TSDFState, depth_im, label_im, rem_im,
                             jnp.where(upd_diff, new_rem, rem_f))
 
     new_tsdf = jnp.broadcast_to(new_tsdf, dims)
-    new_weight = jnp.broadcast_to(new_weight, dims)
     new_label_out = jnp.broadcast_to(new_label_out, dims)
     new_rem_out = jnp.broadcast_to(new_rem_out, dims)
+    if write_weight:
+        out_weight = jnp.broadcast_to(new_weight, dims).astype(weight.dtype)
+    else:
+        # single-integrate callers: nothing downstream of a lone integrate
+        # reads weight (it only feeds the NEXT integrate's class-aware
+        # rule), so pass the buffer through untouched — XLA DCEs the
+        # weight computation and skips its full-volume HBM write
+        out_weight = weight
     return TSDFState(tsdf=new_tsdf.astype(tsdf.dtype),
-                     weight=new_weight.astype(weight.dtype),
+                     weight=out_weight,
                      label=new_label_out.astype(label.dtype),
                      rem=new_rem_out.astype(rem.dtype))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "voxel_size", "x_chunk", "reset"),
+    static_argnames=("dims", "voxel_size", "x_chunk", "reset",
+                     "write_weight"),
     donate_argnums=(0,))
 def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
                     fov_up_deg, fov_down_deg, obs_weight,
                     origin, active_dims, dims, voxel_size,
-                    x_chunk=None, reset=False):
+                    x_chunk=None, reset=False, write_weight=True):
     # origin and active_dims are *dynamic* operands: per-frame volume
     # placement/cropping must not trigger recompiles (dims are bucketed
     # static shapes; voxels beyond active_dims are masked off so a bucketed
@@ -271,7 +279,8 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
     if x_chunk is None or x_chunk >= X:
         return _integrate_block(state, *args,
                                 x_offset=jnp.int32(0), dims=dims,
-                                voxel_size=voxel_size, reset=reset)
+                                voxel_size=voxel_size, reset=reset,
+                                write_weight=write_weight)
 
     # chunked path: bound temporaries to one X-slab. The loop is STATICALLY
     # unrolled with static slice offsets — a fori_loop over
@@ -287,10 +296,11 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
         out = _integrate_block(block, *args,
                                x_offset=jnp.int32(x0),
                                dims=(size, Y, Z), voxel_size=voxel_size,
-                               reset=reset)
+                               reset=reset, write_weight=write_weight)
         state = TSDFState(*(
-            jax.lax.dynamic_update_slice_in_dim(a, b, x0, 0)
-            for a, b in zip(state, out)))
+            a if (name == "weight" and not write_weight)
+            else jax.lax.dynamic_update_slice_in_dim(a, b, x0, 0)
+            for name, a, b in zip(TSDFState._fields, state, out)))
     return state
 
 
@@ -310,8 +320,8 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
               label_im: jax.Array, rem_im: jax.Array, *,
               fov_up_deg, fov_down_deg, obs_weight: float = 1.0,
               origin=None, active_dims=None,
-              x_chunk: int | None = "auto", reset: bool = False
-              ) -> TSDFState:
+              x_chunk: int | None = "auto", reset: bool = False,
+              write_weight: bool = True) -> TSDFState:
     """Fuse one range image into the volume (class-aware rule; see module
     docstring). Donates ``state`` for in-place HBM update.
 
@@ -325,6 +335,11 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
       active_dims: optional (3,) dynamic crop — voxels at/above these grid
                 coords are inert (lets one bucketed static shape serve many
                 per-frame exact bounds)
+      write_weight: False skips the weight-volume update entirely (25% of
+                the state write traffic). Only valid when no FURTHER
+                integrate will read this state — weight feeds the next
+                integrate's class-aware rule and nothing else. The
+                returned weight buffer is passed through unchanged.
     """
     if origin is None:
         origin = jnp.asarray(spec.origin, jnp.float32)
@@ -339,7 +354,7 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(active_dims, jnp.float32),
         dims=spec.dims, voxel_size=spec.voxel_size, x_chunk=x_chunk,
-        reset=reset)
+        reset=reset, write_weight=write_weight)
 
 
 def integrate_reference_numpy(tsdf, weight, label, rem, spec: VolumeSpec,

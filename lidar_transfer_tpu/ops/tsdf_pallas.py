@@ -74,11 +74,13 @@ def _atan_poly(x):
 
 
 def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
-            Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab):
+            Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab,
+            write_weight):
     """One grid step: update BX x-planes' (y-tile) slabs of the volume.
 
-    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4 state-out refs
-    (forwarded untouched to _kernel_plane, which unpacks them).
+    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4-or-3 state-out refs
+    (forwarded untouched to _kernel_plane, which unpacks them; weight has
+    no out ref when write_weight is False).
     BX > 1 amortizes the per-grid-step overhead (~20 us each through the
     remote runtime) over more voxels; bounded by VMEM.
     """
@@ -102,17 +104,21 @@ def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
                       gy, ox, oy, oz, fov_up, fov_down, fov, obs_w,
                       ax, ay, az, Y=Y, Z=Z, H=H, CW=CW, R=R, BX=BX,
                       voxel_size=voxel_size, trunc=trunc, reset=reset,
-                      has_vtab=has_vtab)
+                      has_vtab=has_vtab, write_weight=write_weight)
 
 
 def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
                   ox, oy, oz, fov_up, fov_down, fov, obs_w, ax, ay, az,
                   *, Y, Z, H, CW, R, BX, voxel_size, trunc, reset,
-                  has_vtab):
+                  has_vtab, write_weight):
     if has_vtab:
         v_ref, refs = refs[0], refs[1:]
     tsdf_ref, w_ref, lab_ref, rem_ref = refs[0:4]
-    out_tsdf, out_w, out_lab, out_rem = refs[4:8]
+    if write_weight:
+        out_tsdf, out_w, out_lab, out_rem = refs[4:8]
+    else:
+        out_tsdf, out_lab, out_rem = refs[4:7]
+        out_w = None
 
     gx = (jnp.float32(pl.program_id(0)) * BX + bx)
     px = ox + gx * voxel_size
@@ -188,14 +194,16 @@ def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
 
         new_tsdf = jnp.where(upd_same, tsdf_avg,
                              jnp.where(upd_diff, dist, tsdf_f))
-        new_w = jnp.where(upd_same, w_new, weight_f)
         new_lab = jnp.where(upd_diff, new_label, label_f)
         new_remv = jnp.where(upd_same, rem_avg,
                              jnp.where(upd_diff, new_rem, rem_f))
 
         out_tsdf[bx, :, zc:zc + width] = \
             new_tsdf[:, :width].astype(out_tsdf.dtype)
-        out_w[bx, :, zc:zc + width] = new_w[:, :width].astype(out_w.dtype)
+        if write_weight:
+            new_w = jnp.where(upd_same, w_new, weight_f)
+            out_w[bx, :, zc:zc + width] = \
+                new_w[:, :width].astype(out_w.dtype)
         out_lab[bx, :, zc:zc + width] = \
             new_lab[:, :width].astype(out_lab.dtype)
         out_rem[bx, :, zc:zc + width] = \
@@ -269,13 +277,13 @@ def _specs(Z, CW, BY, BX=1):
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "voxel_size", "H", "W", "reset", "has_vtab",
-                     "interpret"),
+                     "write_weight", "interpret"),
     donate_argnums=(0,))
 def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
                            fov_up_deg, fov_down_deg, obs_weight,
                            origin, active_dims, v_tab,
                            dims, voxel_size, H, W, reset, has_vtab,
-                           interpret):
+                           write_weight, interpret):
     X, Y, Z = dims
     CW = _col_width(H)
     BY = min(Y, 1024)
@@ -319,27 +327,35 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     kernel = functools.partial(
         _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
-        reset=reset, has_vtab=has_vtab)
+        reset=reset, has_vtab=has_vtab, write_weight=write_weight)
 
     vtab_specs = [state_spec] if has_vtab else []
     vtab_args = (v_tab,) if has_vtab else ()
     alias_base = 3 + len(vtab_specs)
+    # write_weight=False drops the weight volume from the outputs (and its
+    # full-volume HBM write); its state index 1 aliases nothing and the
+    # input buffer is returned untouched
+    out_state_idx = (0, 1, 2, 3) if write_weight else (0, 2, 3)
     out = pl.pallas_call(
         kernel,
         grid=(X // BX, Y // BY),
         in_specs=[smem_spec, col_spec, col_spec, *vtab_specs,
                   *([state_in_spec] * 4)],
-        out_specs=(state_spec,) * 4,
+        out_specs=(state_spec,) * len(out_state_idx),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((X, Y, Z), a.dtype) for a in state),
-        input_output_aliases={alias_base + i: i for i in range(4)},
+            jax.ShapeDtypeStruct((X, Y, Z), state[i].dtype)
+            for i in out_state_idx),
+        input_output_aliases={
+            alias_base + si: oi for oi, si in enumerate(out_state_idx)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             # BX=2 sits ~28 KB over the default 16 MB scoped budget
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params, dcol, lrcol, *vtab_args, *state)
-    return TSDFState(*out)
+    if write_weight:
+        return TSDFState(*out)
+    return TSDFState(out[0], state.weight, out[1], out[2])
 
 
 @functools.partial(
@@ -387,12 +403,16 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      rem_im, *, fov_up_deg, fov_down_deg,
                      obs_weight: float = 1.0, origin=None, active_dims=None,
                      reset: bool = False, geom=None,
+                     write_weight: bool = True,
                      interpret: bool = False) -> TSDFState:
     """Pallas-backed drop-in for ops.tsdf.integrate (same semantics).
 
     ``geom``: optional v-table from ``precompute_geometry`` — skips the
     per-voxel atan chain when the volume placement is frame-invariant
     (fixed_bounds).
+    ``write_weight``: False skips the weight-volume write (see
+    ops.tsdf.integrate — only valid when no further integrate chains on
+    this state); the returned weight buffer passes through unchanged.
     """
     if origin is None:
         origin = jnp.asarray(spec.origin, jnp.float32)
@@ -411,4 +431,5 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
         jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
         jnp.asarray(active_dims, jnp.float32), v_tab,
         dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W,
-        reset=reset, has_vtab=has_vtab, interpret=interpret)
+        reset=reset, has_vtab=has_vtab, write_weight=write_weight,
+        interpret=interpret)

@@ -90,6 +90,18 @@ class TransferEngine:
     # None = auto: the Pallas integrate kernel (ops/tsdf_pallas.py) on TPU
     # when the volume shape supports it, XLA integrate elsewhere
     use_pallas_integrate: bool | None = None
+    # Lazy volume materialization. The splat engine's single-fused-image
+    # path derives every band sample's attributes from the image itself
+    # (ops/splat.py _band_samples_image — zero volume reads), so for
+    # mergemesh the fused volume is write-only during the transfer: the
+    # virtual scan is bit-identical whether or not integrate runs
+    # (tests/test_splat.py::test_image_vs_volume_attrs). Deferring the
+    # integrate drops the full-volume state write — the measured ~76 ms
+    # Pallas write floor at reference scale (ops/tsdf_pallas.py) — from
+    # the hot path, and the volume (plus its geometry table) is only
+    # integrated on first demand via ``fused_state()`` (export_mesh,
+    # rolling-shutter resynthesis, or any attrs="volume" consumer).
+    defer_volume: bool = True
 
     def __post_init__(self):
         t = self.target
@@ -230,18 +242,20 @@ class TransferEngine:
         return geoms[key]
 
     def _integrate(self, state, ri, fov_up, fov_down, origin, active,
-                   reset, geom=None):
+                   reset, geom=None, write_weight=True):
         if self._pallas_eligible(ri.range.shape[0]):
             from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas
 
             return integrate_pallas(
                 state, self.vol_spec, ri.range, ri.label, ri.remission,
                 fov_up_deg=fov_up, fov_down_deg=fov_down,
-                origin=origin, active_dims=active, reset=reset, geom=geom)
+                origin=origin, active_dims=active, reset=reset, geom=geom,
+                write_weight=write_weight)
         return TS.integrate(
             state, self.vol_spec, ri.range, ri.label, ri.remission,
             fov_up_deg=fov_up, fov_down_deg=fov_down,
-            origin=origin, active_dims=active, reset=reset)
+            origin=origin, active_dims=active, reset=reset,
+            write_weight=write_weight)
 
     def _synthesize(self, state, origin_vol, active, sources,
                     pts, valid) -> VirtualScan:
@@ -271,6 +285,39 @@ class TransferEngine:
                                points=ends, mask=mask, adaption="mesh")
         return self._raycast(state, origin_vol, pts, valid)
 
+    # --------------------------------------------- lazy volume consumers
+    def _defer_active(self) -> bool:
+        """Deferral applies only where the volume is provably unread:
+        splat synthesis with a single fused image (mergemesh)."""
+        return self.defer_volume and self.synthesis == "splat"
+
+    def fused_state(self) -> TS.TSDFState:
+        """The fused TSDF volume of the last transferred frame.
+
+        With ``defer_volume`` the mergemesh transfer itself never writes
+        the volume (its splat output provably doesn't read it); this
+        integrates the stashed frame inputs on first demand. The weight
+        volume is NOT written on this single-integrate path (nothing
+        downstream of a lone integrate reads it; it only matters when
+        integrates chain, as in the mesh adaption) — its buffer contents
+        are unspecified.
+        """
+        if (getattr(self, "_fused", False)
+                and getattr(self, "_vol_state", None) is not None):
+            return self._vol_state
+        pend = getattr(self, "_pending_fusion", None)
+        if pend is None:
+            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
+                               "transfer first")
+        ri, fov_up, fov_down, origin, active = pend
+        geom = self._ensure_geom(fov_up, fov_down, ri.range.shape[0])
+        state = self._integrate(self._take_state(), ri, fov_up, fov_down,
+                                origin, active, reset=True, geom=geom,
+                                write_weight=False)
+        self._keep_state(state)
+        self._fused = True
+        return state
+
     def resynthesize_rolling_shutter(self, pose_next: np.ndarray
                                      ) -> VirtualScan:
         """Re-cast the LAST transferred frame's volume with rolling-shutter
@@ -284,10 +331,7 @@ class TransferEngine:
         Uses the raymarcher (per-ray origins); the splat engine assumes a
         co-centered sensor.
         """
-        state = getattr(self, "_vol_state", None)
-        if state is None:
-            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
-                               "transfer first")
+        state = self.fused_state()
         t = self.target
         # SensorSpec.beam_angles are already radians (config.py)
         ba = (np.asarray(t.beam_angles)
@@ -321,10 +365,7 @@ class TransferEngine:
         from lidar_transfer_tpu.ops.marching import marching_tetrahedra
         from lidar_transfer_tpu.utils.plyio import write_ply
 
-        state = getattr(self, "_vol_state", None)
-        if state is None:
-            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
-                               "transfer first")
+        state = self.fused_state()
         tsdf = np.asarray(state.tsdf, np.float32)
         tris = marching_tetrahedra(tsdf, 0.0)
         origin = np.asarray(getattr(self, "_last_origin",
@@ -378,6 +419,25 @@ class TransferEngine:
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
                 ri, state, origin)
 
+    def _mergemesh_core_deferred(self, window: ScanWindow):
+        """Volume-free whole-frame body: projection + splat only.
+
+        Identical output to ``_mergemesh_core`` when synthesis is "splat"
+        (the single-source splat never reads the volume); the integrate
+        runs lazily via ``fused_state()``.
+        """
+        pts, rem, lbl, valid = merge_window(window)
+        ri = P.range_project(
+            pts, rem, lbl, valid, H=self.source.H, W=self.source.W,
+            fov_up_deg=self.target.fov_up, fov_down_deg=self.target.fov_down,
+            beam_angles=self.s_beam_angles)
+        origin, active = self._frame_volume(pts, valid)
+        vs = self._synthesize(
+            None, origin, active,
+            [(ri, self.target.fov_up, self.target.fov_down)], pts, valid)
+        return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
+                ri, origin, active)
+
     def mergemesh(self, window: ScanWindow
                   ) -> tuple[VirtualScan, P.RangeImage]:
         """Merged-cloud TSDF adaption ≡ laserscan.py:921-1012.
@@ -390,6 +450,24 @@ class TransferEngine:
         per-call dispatch through the axon tunnel costs ~7 ms, so the
         previous ~7-call frame paid ~50 ms of pure dispatch.
         """
+        if self._defer_active():
+            if self.fixed_bounds:
+                fn = getattr(self, "_mm_jit_deferred", None)
+                if fn is None:
+                    fn = jax.jit(self._mergemesh_core_deferred)
+                    self._mm_jit_deferred = fn
+                out = fn(window)
+            else:
+                out = self._mergemesh_core_deferred(window)
+            rng, lbl, rem, ends, mask, ri, origin, active = out
+            self._pending_fusion = (ri, self.target.fov_up,
+                                    self.target.fov_down, origin, active)
+            self._fused = False
+            self._last_origin = origin
+            vs = VirtualScan(range=rng, label=lbl, remission=rem,
+                             points=ends, mask=mask, adaption="mergemesh")
+            return vs, ri
+
         geom = self._ensure_geom(self.target.fov_up, self.target.fov_down,
                                  self.source.H)
         if self.fixed_bounds:
@@ -402,6 +480,8 @@ class TransferEngine:
             out = self._mergemesh_core(window, self._take_state(), geom)
         rng, lbl, rem, ends, mask, ri, state, origin = out
         self._keep_state(state)
+        self._fused = True
+        self._pending_fusion = None
         self._last_origin = origin      # actual fused-volume placement
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mergemesh")
@@ -453,6 +533,8 @@ class TransferEngine:
             out = self._mesh_core(window, self._take_state(), geom)
         rng, lbl, rem, ends, mask, ri0, state, origin = out
         self._keep_state(state)
+        self._fused = True
+        self._pending_fusion = None
         self._last_origin = origin
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mesh")

@@ -109,7 +109,7 @@ def test_splat_vs_native_mesh_oracle(synthetic_dataset, small_spec, scene):
                          synthesis="splat", fixed_bounds=True)
     vs, ri = eng.transfer(window)
 
-    state = eng._vol_state
+    state = eng.fused_state()      # materializes (transfer deferred it)
     tsdf = np.asarray(state.tsdf, np.float32)
     tris_grid = marching_tetrahedra(tsdf, 0.0)
     tris_world = (tris_grid * cfg.voxel_size
@@ -128,3 +128,68 @@ def test_splat_vs_native_mesh_oracle(synthetic_dataset, small_spec, scene):
     assert both.sum() > 500
     d = np.abs(np.asarray(vs.range) - nat_rng)[both]
     assert np.median(d) < 2 * cfg.voxel_size
+
+
+def test_deferred_volume_identical_output(synthetic_dataset, small_spec):
+    """defer_volume must not change the transfer output AT ALL: the splat
+    image path provably never reads the volume, so skipping the integrate
+    write is output-invariant (bit-exact)."""
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    eng_d = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="splat", defer_volume=True)
+    eng_e = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="splat", defer_volume=False)
+    vs_d, ri_d = eng_d.transfer(window)
+    vs_e, ri_e = eng_e.transfer(window)
+
+    np.testing.assert_array_equal(np.asarray(vs_d.mask),
+                                  np.asarray(vs_e.mask))
+    np.testing.assert_array_equal(np.asarray(vs_d.label),
+                                  np.asarray(vs_e.label))
+    np.testing.assert_array_equal(np.asarray(vs_d.range),
+                                  np.asarray(vs_e.range))
+    np.testing.assert_array_equal(np.asarray(vs_d.remission),
+                                  np.asarray(vs_e.remission))
+    np.testing.assert_array_equal(np.asarray(ri_d.range),
+                                  np.asarray(ri_e.range))
+    # the deferred engine never materialized the volume
+    assert getattr(eng_d, "_fused", False) is False
+    assert eng_e._fused is True
+
+
+def test_fused_state_materializes_lazily(synthetic_dataset, small_spec):
+    """fused_state() after a deferred transfer equals the eager engine's
+    volume on tsdf/label/rem (weight is documented-unspecified)."""
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    eng_d = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="splat", defer_volume=True)
+    eng_e = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           synthesis="splat", defer_volume=False)
+    eng_d.transfer(window)
+    eng_e.transfer(window)
+
+    lazy = eng_d.fused_state()
+    eager = eng_e.fused_state()
+    np.testing.assert_array_equal(np.asarray(lazy.label),
+                                  np.asarray(eager.label))
+    np.testing.assert_allclose(np.asarray(lazy.tsdf, np.float32),
+                               np.asarray(eager.tsdf, np.float32),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lazy.rem, np.float32),
+                               np.asarray(eager.rem, np.float32),
+                               atol=1e-4)
+    # second call returns the cached state, no re-integrate
+    assert eng_d.fused_state() is lazy
+
+
+def test_fused_state_without_transfer_raises(small_spec):
+    cfg = make_cfg()
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    with pytest.raises(RuntimeError, match="no fused volume"):
+        eng.fused_state()

@@ -229,3 +229,30 @@ def test_compact_state_matches_f32(small_spec):
     same_lbl = (np.asarray(r16.label)[both] ==
                 np.asarray(r32.label)[both])
     assert same_lbl.mean() > 0.99
+
+
+def test_integrate_write_weight_false(rng):
+    """XLA integrate: write_weight=False leaves weight untouched and all
+    other volumes identical to the full write (both chunked and single)."""
+    spec = TS.VolumeSpec.from_bounds(
+        np.array([[-8.0, 8.0], [-8.0, 8.0], [-2.0, 2.0]]), 0.5)
+    H, W = 16, 64
+    depth = (rng.random((H, W)) * 10 + 1).astype(np.float32)
+    label = rng.choice(np.array([10, 40, 50], np.int32), size=(H, W))
+    rem = rng.random((H, W)).astype(np.float32)
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+
+    for x_chunk in (None, 8):
+        full = TS.integrate(spec.init_state(), spec, jnp.asarray(depth),
+                            jnp.asarray(label), jnp.asarray(rem),
+                            x_chunk=x_chunk, **kw)
+        slim = TS.integrate(spec.init_state(), spec, jnp.asarray(depth),
+                            jnp.asarray(label), jnp.asarray(rem),
+                            x_chunk=x_chunk, write_weight=False, **kw)
+        np.testing.assert_array_equal(np.asarray(slim.label),
+                                      np.asarray(full.label))
+        np.testing.assert_allclose(np.asarray(slim.tsdf),
+                                   np.asarray(full.tsdf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(slim.rem),
+                                   np.asarray(full.rem), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(slim.weight), 0.0)

@@ -115,3 +115,29 @@ def test_unsupported_shapes_raise(setup):
             spec.init_state(), spec, jnp.asarray(big_h),
             jnp.zeros((200, 64), jnp.int32), jnp.zeros((200, 64)),
             fov_up_deg=8.0, fov_down_deg=-22.0, interpret=True)
+
+
+@pytest.mark.parametrize("reset", [True, False])
+def test_pallas_write_weight_false(setup, reset):
+    """write_weight=False: tsdf/label/rem identical to the full write; the
+    weight buffer passes through untouched."""
+    rng, spec, depth, label, rem = setup
+    s0 = _rand_state(rng, spec)
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0, reset=reset,
+              interpret=True)
+    full = integrate_pallas(
+        TS.TSDFState(*(jnp.array(a) for a in s0)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem), **kw)
+    slim = integrate_pallas(
+        TS.TSDFState(*(jnp.array(a) for a in s0)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem),
+        write_weight=False, **kw)
+    np.testing.assert_array_equal(np.asarray(slim.label),
+                                  np.asarray(full.label))
+    np.testing.assert_allclose(np.asarray(slim.tsdf),
+                               np.asarray(full.tsdf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(slim.rem),
+                               np.asarray(full.rem), atol=1e-6)
+    # weight buffer is the unmodified input
+    np.testing.assert_array_equal(np.asarray(slim.weight),
+                                  np.asarray(s0.weight))
