@@ -118,16 +118,29 @@ def main():
         jax.block_until_ready(vs.range)
     log(f"warmup+compile: {time.perf_counter()-t0:.1f}s")
 
+    # single-frame LATENCY: block after every frame (pays the tunnel's
+    # per-dispatch round-trip in full — ~30 ms through the remote runtime
+    # in this environment, unrelated to on-chip time)
     t0 = time.perf_counter()
     for i in range(args.frames):
         vs = run_frame(window)
         jax.block_until_ready(vs.range)
-        log(f"frame {i}: {time.perf_counter()-t0:.3f}s cumulative")
+    lat_ms = (time.perf_counter() - t0) / args.frames * 1e3
+    log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
+
+    # THROUGHPUT (the headline): stream frames asynchronously — issue all,
+    # sync once. JAX dispatch is async, so the tunnel round-trip overlaps
+    # with device execution exactly as a production pipeline over a scan
+    # stream would; device work is serialized either way.
+    t0 = time.perf_counter()
+    outs = [run_frame(window) for _ in range(args.frames)]
+    jax.block_until_ready(outs[-1].range)
     dt = time.perf_counter() - t0
+    vs = outs[-1]
     scans_per_sec = args.frames / dt
     rays = target.H * target.W
-    log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s, "
-        f"{scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
+    log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
+        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
         f"hit rate {np.asarray(vs.mask).mean():.3f}")
 
     print(json.dumps({
