@@ -143,6 +143,20 @@ def main():
         f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
         f"hit rate {np.asarray(vs.mask).mean():.3f}")
 
+    # per-cause miss accounting (untimed; VERDICT r1 weak #5): every
+    # no-data pixel attributed to out-of-source-FOV / empty direction /
+    # outside volume bounds / genuine synthesis miss
+    from lidar_transfer_tpu.metrics.diagnostics import miss_decomposition
+    from lidar_transfer_tpu.pipeline.multiscan import merge_window
+    mpts, _, _, mvalid = merge_window(window)
+    dec = miss_decomposition(
+        mpts, mvalid, vs.mask, target_H=target.H, target_W=target.W,
+        t_fov_up=target.fov_up, t_fov_down=target.fov_down,
+        s_fov_up=source.fov_up, s_fov_down=source.fov_down,
+        vol_bounds=cfg.voxel_bounds_array)
+    log("miss decomposition: " + json.dumps(
+        {k: round(v, 4) for k, v in dec.rates().items()}))
+
     print(json.dumps({
         "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, mergemesh, "
                   f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
