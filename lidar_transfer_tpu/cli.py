@@ -149,82 +149,87 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
         profiler_ctx = args.profile
 
-    while idx < end:
-        timer = StageTimer()
-        t0 = time.time()
-        with timer.span("window", cfg.number_of_scans):
-            window = load_window(seq, cfg, idx, capacity)
-        with timer.span("transfer", 1):
-            vs, ri = eng.transfer(window)
-            if (args.rolling_shutter and idx + 1 < len(seq)
-                    and cfg.adaption in ("mesh", "mergemesh")):
-                import numpy as _np
+    # an exception mid-run must still finalize the trace, or the
+    # profile directory is left unreadable (--profile try/finally)
+    try:
+        while idx < end:
+            timer = StageTimer()
+            t0 = time.time()
+            with timer.span("window", cfg.number_of_scans):
+                window = load_window(seq, cfg, idx, capacity)
+            with timer.span("transfer", 1):
+                vs, ri = eng.transfer(window)
+                if (args.rolling_shutter and idx + 1 < len(seq)
+                        and cfg.adaption in ("mesh", "mergemesh")):
+                    import numpy as _np
 
-                pose_next = (_np.linalg.inv(seq.poses[idx])
-                             @ seq.poses[idx + 1])
-                vs = eng.resynthesize_rolling_shutter(pose_next)
-            jax.block_until_ready(vs.range)
+                    pose_next = (_np.linalg.inv(seq.poses[idx])
+                                 @ seq.poses[idx + 1])
+                    vs = eng.resynthesize_rolling_shutter(pose_next)
+                jax.block_until_ready(vs.range)
 
-        frame_metrics = {"index": idx}
-        if same_dims:
-            # source reference scan (≡ lidar_deform.py:403-409)
-            pts, rem, lbl = seq.read(idx)
-            p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
-            m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
-                               cfg.ignore_classes)
-            src = P.range_project(
-                jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
-                H=source.H, W=source.W, fov_up_deg=source.fov_up,
-                fov_down_deg=source.fov_down,
-                beam_angles=eng.s_beam_angles)
-            res = compare_scans(src.label, src.mask, src.range,
-                                jnp.maximum(src.remission, 0.0),
-                                vs.label, vs.range, vs.remission)
-            iou = np.asarray(res.iou_per_class)
-            present = np.asarray(res.present)
-            print("IoU class: ", (iou[present] * 100).astype(int))
-            print("IoU: ", float(res.mean_iou))
-            print("Acc: ", float(res.mean_acc))
-            print("MSE: ", float(res.mse))
-            frame_metrics.update(iou=float(res.mean_iou),
-                                 acc=float(res.mean_acc),
-                                 mse=float(res.mse))
+            frame_metrics = {"index": idx}
+            if same_dims:
+                # source reference scan (≡ lidar_deform.py:403-409)
+                pts, rem, lbl = seq.read(idx)
+                p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+                m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
+                                   cfg.ignore_classes)
+                src = P.range_project(
+                    jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
+                    H=source.H, W=source.W, fov_up_deg=source.fov_up,
+                    fov_down_deg=source.fov_down,
+                    beam_angles=eng.s_beam_angles)
+                res = compare_scans(src.label, src.mask, src.range,
+                                    jnp.maximum(src.remission, 0.0),
+                                    vs.label, vs.range, vs.remission)
+                iou = np.asarray(res.iou_per_class)
+                present = np.asarray(res.present)
+                print("IoU class: ", (iou[present] * 100).astype(int))
+                print("IoU: ", float(res.mean_iou))
+                print("Acc: ", float(res.mean_acc))
+                print("MSE: ", float(res.mse))
+                frame_metrics.update(iou=float(res.mean_iou),
+                                     acc=float(res.mean_acc),
+                                     mse=float(res.mse))
 
-        if args.write:
-            with timer.span("write", 1):
-                n = write_virtual_scan(out_path, idx, vs)
-            frame_metrics["points_written"] = n
-            if args.png:
-                from lidar_transfer_tpu.utils.images import (
-                    save_virtual_scan_pngs)
-                save_virtual_scan_pngs(out_path, idx, vs, cfg)
+            if args.write:
+                with timer.span("write", 1):
+                    n = write_virtual_scan(out_path, idx, vs)
+                frame_metrics["points_written"] = n
+                if args.png:
+                    from lidar_transfer_tpu.utils.images import (
+                        save_virtual_scan_pngs)
+                    save_virtual_scan_pngs(out_path, idx, vs, cfg)
 
-        if args.ply and cfg.adaption in ("mesh", "mergemesh"):
-            os.makedirs(args.ply, exist_ok=True)
-            from lidar_transfer_tpu.config import make_color_lut
-            lut = (make_color_lut(cfg.color_map_bgr)[:, ::-1]
-                   * 255).astype("uint8")
-            n_tri = eng.export_mesh(
-                os.path.join(args.ply, f"{idx:06d}.ply"), colorize=lut)
-            frame_metrics["triangles"] = n_tri
+            if args.ply and cfg.adaption in ("mesh", "mergemesh"):
+                os.makedirs(args.ply, exist_ok=True)
+                from lidar_transfer_tpu.config import make_color_lut
+                lut = (make_color_lut(cfg.color_map_bgr)[:, ::-1]
+                       * 255).astype("uint8")
+                n_tri = eng.export_mesh(
+                    os.path.join(args.ply, f"{idx:06d}.ply"), colorize=lut)
+                frame_metrics["triangles"] = n_tri
 
-        s = time.time() - t0
-        print("Took: %.2fs" % s)
-        frame_metrics["seconds"] = s
-        frame_metrics["stages"] = timer.report()
-        all_metrics.append(frame_metrics)
-        frames_done += 1
+            s = time.time() - t0
+            print("Took: %.2fs" % s)
+            frame_metrics["seconds"] = s
+            frame_metrics["stages"] = timer.report()
+            all_metrics.append(frame_metrics)
+            frames_done += 1
 
-        if args.one_scan:
-            break
-        if args.frames is not None and frames_done >= args.frames:
-            break
-        idx += increment
-        print("#" * 30, args.sequence, "-", idx, "/", len(seq), "#" * 30)
+            if args.one_scan:
+                break
+            if args.frames is not None and frames_done >= args.frames:
+                break
+            idx += increment
+            print("#" * 30, args.sequence, "-", idx, "/", len(seq), "#" * 30)
 
-    if profiler_ctx:
-        jax.profiler.stop_trace()
-        print(f"profiler trace in {profiler_ctx}")
+    finally:
+        if profiler_ctx:
+            jax.profiler.stop_trace()
+            print(f"profiler trace in {profiler_ctx}")
+
 
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:

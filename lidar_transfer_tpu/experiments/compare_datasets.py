@@ -23,6 +23,7 @@ def class_histogram(dataset: str, sequences=("00",),
     from lidar_transfer_tpu.datasets import kitti
 
     counts = np.zeros((max_label,), np.int64)
+    unknown = 0
     for s in sequences:
         lbl_dir = os.path.join(dataset, "sequences", s, "labels")
         files = sorted(os.path.join(lbl_dir, f)
@@ -32,8 +33,15 @@ def class_histogram(dataset: str, sequences=("00",),
             raise FileNotFoundError(f"no .label files under {lbl_dir}")
         for f in files:
             lbl = kitti.read_label_file(f)
-            counts += np.bincount(np.clip(lbl, 0, max_label - 1),
-                                  minlength=max_label)
+            # drop ids >= max_label instead of clipping (clipping folded
+            # unknown ids into the top class and inflated its count)
+            known = lbl < max_label
+            counts += np.bincount(lbl[known], minlength=max_label)
+            unknown += int((~known).sum())
+    if unknown:
+        import warnings
+        warnings.warn(f"{unknown} points carried label ids >= {max_label} "
+                      "and were excluded from the histogram")
     return {int(c): int(n) for c, n in enumerate(counts) if n > 0}
 
 

@@ -177,12 +177,17 @@ def occupancy_from_points(points: jax.Array, valid: jax.Array,
                      n_cells)
     occ = jnp.zeros((n_cells + 1,), bool).at[flat].set(
         True, mode="drop")[:n_cells].reshape(cx, cy, cz)
+    # dilate in a padded grid so jnp.roll can never wrap occupancy across
+    # opposite volume faces (pad > dilate_cells keeps every wrapped lane
+    # False); mirrors occupancy_grid's pad-first dilation
+    pad = dilate_cells + 1
+    occ = jnp.pad(occ, pad)
     for _ in range(dilate_cells):
         d = occ
         for axis in range(3):
             d = d | jnp.roll(occ, 1, axis) | jnp.roll(occ, -1, axis)
             occ = d
-    return occ
+    return occ[pad:-pad, pad:-pad, pad:-pad]
 
 
 def _box_exit_t(origin, dirs, lo, hi):

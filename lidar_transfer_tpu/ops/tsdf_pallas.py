@@ -423,6 +423,17 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
         raise ValueError(
             f"unsupported dims {spec.dims} / H {H} for the pallas "
             "integrate (need H<=128, Y % min(Y,1024) == 0)")
+    # the packed label*16384 + 14-bit remission column is exact in the f32
+    # mantissa only for label ids < 512 (SemanticKITTI: <= 259); larger ids
+    # would silently corrupt labels AND remissions. Checked eagerly when
+    # values are available (inside a jit the label is a tracer — the bound
+    # is then the caller's contract, documented here).
+    if not isinstance(label_im, jax.core.Tracer):
+        max_label = int(jnp.max(jnp.where(depth_im > 0, label_im, 0)))
+        if max_label >= 512:
+            raise ValueError(
+                f"integrate_pallas packs label+remission into one f32 "
+                f"column: label ids must be < 512, got {max_label}")
     has_vtab = geom is not None
     v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
     return _integrate_pallas_impl(

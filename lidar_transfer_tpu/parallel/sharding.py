@@ -184,9 +184,13 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
 
     from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
 
+    # static, so it can be closed over (stack_windows carries it through)
+    primary_index = int(getattr(windows, "primary_index", 0) or 0)
+
     def one_frame(points, remissions, labels, valid, rel_pose):
         w = ScanWindow(points=points, remissions=remissions, labels=labels,
-                       valid=valid, rel_pose=rel_pose, primary_index=0)
+                       valid=valid, rel_pose=rel_pose,
+                       primary_index=primary_index)
         state = (engine.vol_spec.init_state_compact()
                  if engine.compact_volume else engine.vol_spec.init_state())
         rng, lbl, rem, ends, mask, _, _, _ = engine._mergemesh_core(w, state)
