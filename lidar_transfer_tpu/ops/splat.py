@@ -46,39 +46,57 @@ from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
 def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
                         valid_flat, vol_origin, active_dims, dims,
                         voxel_size, samples_per_ray):
-    """Image-attributed band samples: zero volume gathers.
+    """Image-attributed band candidates: zero volume gathers, ONE
+    candidate per source pixel (not K).
 
     Valid ONLY when a single image was fused (mergemesh): every band voxel
     was written by exactly this image, so each sample's tsdf is the known
     per-step distance -(k+0.5)*step/trunc and label/remission are its
     pixel's. (With multiple fused images the volume's class-aware blending
     can differ at collisions — use ``_band_samples`` then.)
+
+    Why one candidate suffices: the sensor sits at the origin of both
+    grids, so ALL K samples of a source ray share its direction and land
+    in the SAME target pixel; the z-buffer's per-pixel min over the K*HW
+    expansion therefore equals a min over per-ray minima, and a ray's
+    minimum-depth valid sample is simply its smallest in-volume k. This
+    collapses the downstream target projection from K*HW to HW elements
+    (the sort was the #1 synthesis cost). Equivalent by the
+    min-over-partition argument, up to one arbitrary-but-deterministic
+    detail: ties at EXACTLY equal candidate depth now resolve by source
+    pixel order instead of sample-k order (analytic synthetic scenes do
+    produce exact ties; real LiDAR effectively never).
     """
     X, Y, Z = dims
     K = samples_per_ray
     vox = jnp.float32(voxel_size)
     trunc = vox * 5.0
+    step = vox * 0.5
 
     safe_rng = jnp.maximum(rng_flat, 1e-6)
     dirs = pts_flat / safe_rng[:, None]
-    k = (jnp.arange(K, dtype=jnp.float32) + 0.5) * (vox * 0.5)
-    t = rng_flat[None, :] + k[:, None]
-    pos = (dirs[None, :, :] * t[..., None]).reshape(-1, 3)
-    t = t.reshape(-1)
-    HW = rng_flat.shape[0]
-    valid = jnp.broadcast_to(valid_flat[None, :], (K, HW)).reshape(-1)
 
-    g = (pos - vol_origin[None, :]) / vox
-    gi = jnp.round(g).astype(jnp.int32)
-    inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_dims[0]) &
-              (gi[:, 1] >= 0) & (gi[:, 1] < active_dims[1]) &
-              (gi[:, 2] >= 0) & (gi[:, 2] < active_dims[2]))
+    # smallest k whose sample falls inside the (cropped) volume —
+    # unrolled elementwise scan over the K half-voxel offsets
+    found = jnp.zeros_like(valid_flat)
+    kmin = jnp.zeros_like(rng_flat)
+    for k in range(K):
+        kd = jnp.float32((k + 0.5) * step)
+        pos_k = dirs * (rng_flat + kd)[:, None]
+        gi = jnp.round((pos_k - vol_origin[None, :]) / vox
+                       ).astype(jnp.int32)
+        inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_dims[0]) &
+                  (gi[:, 1] >= 0) & (gi[:, 1] < active_dims[1]) &
+                  (gi[:, 2] >= 0) & (gi[:, 2] < active_dims[2]))
+        kmin = jnp.where(inside & ~found, jnp.float32(k), kmin)
+        found = found | inside
 
-    tsdf_v = jnp.broadcast_to((-k / trunc)[:, None], (K, HW)).reshape(-1)
-    label_v = jnp.broadcast_to(label_flat[None, :], (K, HW)).reshape(-1)
-    rem_v = jnp.broadcast_to(rem_flat[None, :], (K, HW)).reshape(-1)
-    valid = valid & inside & (label_v > 0)
-    return pos, t, tsdf_v, label_v.astype(jnp.int32), rem_v, valid
+    kd = (kmin + 0.5) * step
+    t = rng_flat + kd
+    pos = dirs * t[:, None]
+    tsdf_v = -kd / trunc
+    valid = valid_flat & found & (label_flat > 0)
+    return pos, t, tsdf_v, label_flat.astype(jnp.int32), rem_flat, valid
 
 
 @functools.partial(
