@@ -1,0 +1,187 @@
+"""Multi-host (DCN) input pipeline for frame-parallel transfer.
+
+SURVEY.md §5: the reference scales batch jobs by launching 11 sequential
+shell processes (experiments/run_lidar_deform.sh) with no IPC beyond
+stdout. The TPU-native equivalent: every host process joins one
+``jax.distributed`` job, loads ONLY the frames whose global shard lives on
+its own devices (the DCN-side input pipeline — disk IO never crosses
+hosts), assembles a globally-sharded ScanWindow batch with
+``jax.make_array_from_process_local_data``, and runs the SAME
+frame-parallel transfer as single-host (parallel/sharding.py) — the frame
+axis is embarrassingly parallel, so only metric reductions (psum'd
+confusion matrices) ever ride DCN.
+
+Dryrun: ``python -m lidar_transfer_tpu.parallel.multihost --process-id I
+--num-processes N ...`` runs one process of an N-process CPU job
+(gloo collectives); tests/test_multihost.py launches two and checks the
+globally-assembled outputs against a single-process run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int, *, cpu_devices_per_process: int | None = None):
+    """Join a jax.distributed job. MUST run before any jax backend use.
+
+    cpu_devices_per_process: force N virtual CPU devices on this process
+    (test/dryrun mode; uses gloo for cross-process CPU collectives).
+    """
+    import os
+
+    if cpu_devices_per_process is not None:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{cpu_devices_per_process}").strip()
+    import jax
+
+    if cpu_devices_per_process is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax
+
+
+def global_data_mesh():
+    """(n_global_devices, 1) mesh with ("data", "model") axes — the layout
+    frame_parallel_transfer expects — over ALL devices of the job."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    return Mesh(devs.reshape(len(devs), 1), ("data", "model"))
+
+
+def local_frame_indices(frame_indices, mesh) -> list[int]:
+    """The subset of the global frame batch THIS process must load.
+
+    The batch axis is sharded over the mesh's "data" axis in device order;
+    a frame is local iff its device belongs to this process.
+    """
+    import jax
+
+    n_dev = mesh.shape["data"]
+    if len(frame_indices) % n_dev:
+        raise ValueError(f"batch {len(frame_indices)} not divisible by "
+                         f"{n_dev} devices")
+    per_dev = len(frame_indices) // n_dev
+    data_devs = list(mesh.devices[:, 0])
+    pid = jax.process_index()
+    return [frame_indices[d * per_dev + k]
+            for d, dev in enumerate(data_devs) if dev.process_index == pid
+            for k in range(per_dev)]
+
+
+def load_global_windows(seq, cfg, frame_indices, capacity: int, mesh):
+    """Per-host loading -> one globally-sharded batched ScanWindow.
+
+    Each process reads only ``local_frame_indices(frame_indices, mesh)``
+    from disk; the returned ScanWindow's arrays are global jax.Arrays
+    sharded P("data") over the mesh (addressable shards backed by the
+    local reads — nothing is gathered).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow, load_window
+
+    local = [load_window(seq, cfg, i, capacity)
+             for i in local_frame_indices(frame_indices, mesh)]
+    if not local:
+        raise ValueError("this process owns no frames — shrink the mesh "
+                         "or grow the batch")
+    B = len(frame_indices)
+
+    def assemble(name):
+        stacked = np.stack([np.asarray(getattr(w, name)) for w in local])
+        sharding = NamedSharding(mesh, P("data"))
+        return jax.make_array_from_process_local_data(
+            sharding, stacked, (B,) + stacked.shape[1:])
+
+    return ScanWindow(
+        points=assemble("points"),
+        remissions=assemble("remissions"),
+        labels=assemble("labels"),
+        valid=assemble("valid"),
+        rel_pose=assemble("rel_pose"),
+        primary_index=0)
+
+
+def _dryrun_main(argv=None) -> int:
+    """One process of an N-process CPU dryrun: DCN-side loading + global
+    frame-parallel transfer + cross-host psum'd confusion matrix."""
+    import argparse
+
+    p = argparse.ArgumentParser("lt-multihost-dryrun")
+    p.add_argument("--coordinator", default="localhost:12788")
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--out", default=None,
+                   help="process 0 writes assembled outputs here (.npz)")
+    args = p.parse_args(argv)
+
+    jax = initialize(args.coordinator, args.num_processes, args.process_id,
+                     cpu_devices_per_process=args.devices_per_process)
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.parallel.sharding import (
+        frame_parallel_transfer, sharded_confusion)
+    from lidar_transfer_tpu.pipeline import TransferEngine
+
+    seq = KittiSequence.open(args.dataset)
+    source = SensorSpec.from_yaml(f"{args.dataset}/config.yaml")
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    mesh = global_data_mesh()
+    n_frames = mesh.shape["data"]
+    frame_indices = [i % len(seq) for i in range(n_frames)]
+    capacity = 8192
+
+    windows = load_global_windows(seq, cfg, frame_indices, capacity, mesh)
+    eng = TransferEngine(source, source, cfg, capacity, fixed_bounds=True)
+    rng, lbl, rem, ends, mask = frame_parallel_transfer(eng, windows,
+                                                        mesh=mesh)
+
+    # cross-host DCN psum: global confusion of virtual labels vs a shifted
+    # copy (content is irrelevant — the reduction crossing hosts is the
+    # point)
+    conf_fn = sharded_confusion(mesh, n_classes=32)
+    flat = jnp.clip(lbl.reshape(n_frames, -1), 0, 31)
+    conf = conf_fn(flat, jnp.roll(flat, 1, axis=1))
+    total = int(jax.device_get(conf).sum())
+    hit = float(jax.device_get(
+        jax.jit(lambda m: m.mean(),
+                out_shardings=jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()))(mask)))
+    print(f"process {jax.process_index()}: {n_frames} frames over "
+          f"{len(jax.devices())} devices on {args.num_processes} hosts, "
+          f"hit rate {hit:.3f}, confusion total {total}", flush=True)
+    assert total == flat.size, "psum'd confusion lost pixels"
+    assert hit > 0.05, "frame-parallel transfer produced nothing"
+
+    if args.out and jax.process_index() == 0:
+        np.savez(args.out, hit=hit, conf_total=total,
+                 range0=np.asarray(
+                     jax.device_get(rng.addressable_shards[0].data)))
+    print(f"process {jax.process_index()}: OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_dryrun_main())

@@ -1,0 +1,60 @@
+"""Multi-host (DCN) input pipeline: 2-process CPU dryrun.
+
+SURVEY.md §5 "DCN only for multi-host input pipelines". Spawns two
+OS processes that join one jax.distributed job (4 virtual CPU devices
+each, gloo collectives), each loading only its own frame shard from disk,
+then running the global frame-parallel transfer + a cross-host psum.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dryrun(synthetic_dataset, tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mh0.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_TRACEBACK_FILTERING"] = "off"
+
+    def launch(pid):
+        return subprocess.Popen(
+            [sys.executable, "-m", "lidar_transfer_tpu.parallel.multihost",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--devices-per-process", "4",
+             "--dataset", synthetic_dataset, "--out", out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+
+    procs = [launch(0), launch(1)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log[-4000:]}"
+        assert f"process {pid}: OK" in log
+
+    res = np.load(out)
+    assert res["hit"] > 0.05
+    assert res["range0"].ndim == 3           # (frames_local, H, W)
+    assert (res["range0"] > 0).any()
