@@ -113,6 +113,66 @@ def bev_image(points, colors, radius: float, size: int = 700):
     return img
 
 
+def _run_interactive(args, cfg, spec, seq, pred_files, capacity, sba,
+                     show_label) -> int:
+    """lt-visualize --interactive: vispy viewer over the sequence.
+
+    ≡ the reference visualize.py:185-232 driving LaserScanVis — 3D
+    turntable cloud + 2D rows, b/n/q stepping; with --predictions the
+    predicted labels form the second row set and the diff canvas, and the
+    window title carries IoU/Acc (compare_scans on gt vs prediction).
+    """
+    import types
+
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.interactive import InteractiveViewer
+    from lidar_transfer_tpu.ops import projection as P
+
+    def load_payload(idx: int) -> dict:
+        from lidar_transfer_tpu.interactive import frame_payload
+
+        pts, rem, lbl = (seq.read(idx) if show_label else
+                         (*kitti.read_scan_file(seq.scan_files[idx]), None))
+        if lbl is None:
+            import numpy as _np
+
+            lbl = _np.zeros(pts.shape[0], _np.int32)
+        p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+        m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
+                           cfg.ignore_classes if show_label else ())
+        ri = P.range_project(jnp.asarray(p), jnp.asarray(r),
+                             jnp.asarray(l), m, H=spec.H, W=spec.W,
+                             fov_up_deg=spec.fov_up,
+                             fov_down_deg=spec.fov_down, beam_angles=sba)
+        virtual = None
+        if pred_files is not None and idx < len(pred_files):
+            pred = kitti.read_label_file(pred_files[idx], pts.shape[0])
+            import numpy as _np
+
+            pp = _np.pad(pred.astype(_np.int32),
+                         (0, capacity - pred.size))
+            rp = P.range_project(jnp.asarray(p), jnp.asarray(r),
+                                 jnp.asarray(pp), m, H=spec.H, W=spec.W,
+                                 fov_up_deg=spec.fov_up,
+                                 fov_down_deg=spec.fov_down,
+                                 beam_angles=sba)
+            back = P.reverse_project(ri, fov_up_deg=spec.fov_up,
+                                     fov_down_deg=spec.fov_down)
+            virtual = types.SimpleNamespace(
+                range=ri.range, remission=ri.remission, label=rp.label,
+                points=back, mask=ri.mask)
+        return frame_payload(ri, cfg, virtual=virtual, source_points=pts,
+                             source_labels=lbl if show_label else None)
+
+    viewer = InteractiveViewer(len(seq), load_payload,
+                               title=f"{spec.name} seq {args.sequence}",
+                               start=args.offset)
+    viewer.run()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -149,23 +209,29 @@ def main(argv=None) -> int:
         print(f"WARNING: {len(pred_files)} predictions vs "
               f"{len(seq)} scans")
 
-    if args.interactive:
-        try:
-            import vispy  # noqa: F401
-        except ImportError:
-            print("vispy not available — falling back to PNG export "
-                  f"into {args.out}")
-            args.interactive = False
-
-    os.makedirs(args.out, exist_ok=True)
-    viridis = get_mpl_colormap("viridis")
-
     n = len(seq) if args.frames < 0 else min(args.frames,
                                              len(seq) - args.offset)
     capacity = kitti.scan_capacity(
         max(os.path.getsize(f) // 16 for f in seq.scan_files))
     sba = (np.asarray(spec.beam_angles)        # already radians
            if spec.beam_angles is not None else None)
+
+    if args.interactive:
+        # real vispy handoff (interactive.InteractiveViewer); an explicit
+        # error when vispy/display are absent — NOT a silent PNG fallback
+        try:
+            import vispy  # noqa: F401
+        except ImportError:
+            print("ERROR: --interactive needs vispy (pip install vispy "
+                  "pyqt5) and a display; this host has neither. "
+                  "Offline PNG export (the default mode) is the headless "
+                  "path.", file=sys.stderr)
+            return 2
+        return _run_interactive(args, cfg, spec, seq, pred_files,
+                                capacity, sba, show_label)
+
+    os.makedirs(args.out, exist_ok=True)
+    viridis = get_mpl_colormap("viridis")
 
     for k in range(n):
         idx = args.offset + k
