@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--no-compact", action="store_true",
                     help="f32 volumes instead of the 8 B/voxel compact "
                          "layout (needs small --bounds to fit HBM).")
+    ap.add_argument("--fusion", action="store_true",
+                    help="Also measure materialized TSDF-integrate "
+                         "throughput (the reference's 'fusion FPS' printed "
+                         "field; the transfer itself defers this write).")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -156,6 +160,26 @@ def main():
         vol_bounds=cfg.voxel_bounds_array)
     log("miss decomposition: " + json.dumps(
         {k: round(v, 4) for k, v in dec.rates().items()}))
+
+    if args.fusion:
+        # fusion FPS ≡ the reference's printed field (laserscan.py:971-977)
+        # — the class-aware integrate at full volume scale (materialized;
+        # the transfer itself never reads it and defers this write)
+        state = eng.fused_state()       # builds geom + compiles once
+        ri, fov_up, fov_down, origin, active = eng._pending_fusion
+        geom = eng._ensure_geom(fov_up, fov_down, ri.range.shape[0])
+        n_f = 5
+        t0 = time.perf_counter()
+        st = eng._take_state()
+        for _ in range(n_f):
+            st = eng._integrate(st, ri, fov_up, fov_down, origin, active,
+                                reset=True, geom=geom, write_weight=False)
+        jax.block_until_ready(st.tsdf)
+        eng._keep_state(st)
+        f_dt = (time.perf_counter() - t0) / n_f
+        log(f"fusion: {1.0/f_dt:.2f} integrates/s "
+            f"({np.prod(eng.vol_dims)/f_dt/1e9:.2f} Gvoxel/s, "
+            f"{f_dt*1e3:.1f} ms per full-volume class-aware integrate)")
 
     print(json.dumps({
         "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, mergemesh, "

@@ -188,13 +188,16 @@ def _range_project_impl(points, remissions, labels, valid,
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     if method == "sort":
-        # ONE lexicographic sort by (pixel, depth, original index): the
-        # first element of each pixel run is the nearest point, ties
-        # broken by lowest original index — byte-identical semantics to
-        # the reference loop's strict '<' z-buffer (laserscan.py:376-377),
-        # and ~2.5x faster than scatter-min on TPU (collision-heavy
-        # scatter serializes; sort is a vectorized bitonic network).
-        sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=3)
+        # ONE lexicographic sort by (pixel, depth): the first element of
+        # each pixel run is the nearest point; the sort is STABLE
+        # (lax.sort default), so ties keep original order and the first
+        # occurrence is the lowest original index — byte-identical
+        # semantics to the reference loop's strict '<' z-buffer
+        # (laserscan.py:376-377) with the index riding as payload instead
+        # of a third comparator key. ~2.5x faster than scatter-min on TPU
+        # (collision-heavy scatter serializes; sort is a vectorized
+        # bitonic network).
+        sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
         is_first = jnp.concatenate(
             [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
         tgt = jnp.where(is_first, sp, npix)
