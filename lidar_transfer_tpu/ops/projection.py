@@ -141,10 +141,11 @@ def project_uv(points: jax.Array, fov_up_deg: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("H", "W", "method", "beam_rows"))
+                   static_argnames=("H", "W", "method", "beam_rows",
+                                    "winner"))
 def _range_project_impl(points, remissions, labels, valid,
                         fov_up_deg, fov_down_deg, beam_angles, H, W,
-                        method="sort", beam_rows=False):
+                        method="sort", beam_rows=False, winner="depth"):
     n = points.shape[0]
 
     if beam_rows:
@@ -184,7 +185,17 @@ def _range_project_impl(points, remissions, labels, valid,
     npix = H * W
     # invalid points scatter into an overflow segment
     pix = jnp.where(valid, py * W + px, npix)
-    depth_key = jnp.where(valid, depth, jnp.inf)
+    if winner == "pdist":
+        # reference method="pdist" (laserscan.py:393-418): the pixel's
+        # winner is the point whose FLOAT image coords lie closest to the
+        # pixel CENTER (strict '<' against an init of 1000 -> first-come
+        # ties), not the nearest-in-depth point
+        dyp = vf - (py.astype(jnp.float32) + 0.5)
+        dxp = uf - (px.astype(jnp.float32) + 0.5)
+        key = jnp.sqrt(dyp * dyp + dxp * dxp)
+    else:
+        key = depth
+    depth_key = jnp.where(valid, key, jnp.inf)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     if method == "sort":
@@ -233,12 +244,31 @@ def range_project(points: jax.Array, remissions: jax.Array,
                   labels: jax.Array, valid: jax.Array, *,
                   H: int, W: int, fov_up_deg, fov_down_deg,
                   beam_angles=None, method: str = "sort",
-                  beam_rows: bool = False) -> RangeImage:
+                  beam_rows: bool = False,
+                  winner: str = "depth") -> RangeImage:
     """Project a padded point set into an (H,W) spherical range image.
 
     Nearest-point-per-pixel z-buffer semantics identical to the reference's
     ``do_range_projection_new(..., method="depth", remove=True)``
     (laserscan.py:294-391). See module docstring.
+
+    The reference's OTHER projection variants map here as follows:
+      - ``do_range_projection_new(method="pdist")`` (laserscan.py:393-418):
+        pass ``winner="pdist"`` — per-pixel winner by smallest distance of
+        the float image coords to the pixel center instead of smallest
+        depth (first-come ties, exactly like the loop's strict '<').
+        Deviation: the reference's pdist loop never fills its remission
+        image (left at -1, an apparent oversight); we fill it from the
+        winning point like every other variant (PARITY.md quirks table).
+      - ``do_range_projection_new(method="depthfast")`` (laserscan.py:
+        420-439) and the legacy ``do_range_projection`` far-to-near
+        overwrite scatter (laserscan.py:274-292) select the SAME winner
+        set as ``winner="depth"``: points sorted by decreasing depth and
+        scattered means each pixel keeps its minimum-depth point. Their
+        only semantic difference is at exact depth ties, where numpy's
+        unstable introsort makes the reference's choice arbitrary; our
+        stable sort resolves ties to the lowest original index
+        (tests/test_reference_parity.py covers both).
 
     Args:
       points:     (N,3) f32 (padded; padding at origin)
@@ -248,14 +278,18 @@ def range_project(points: jax.Array, remissions: jax.Array,
       H, W:       static target image dims
       fov_up_deg / fov_down_deg: scalar sensor FOV in degrees
       beam_angles: optional (B,) array of beam pitch angles in radians
+      winner:     "depth" (nearest point wins) or "pdist" (closest to
+                  pixel center wins)
     """
+    if winner not in ("depth", "pdist"):
+        raise ValueError(f"unknown winner rule {winner!r}")
     fov_up_deg = jnp.asarray(fov_up_deg, jnp.float32)
     fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
     if beam_angles is not None:
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
     return _range_project_impl(points, remissions, labels, valid,
                                fov_up_deg, fov_down_deg, beam_angles,
-                               H, W, method, beam_rows)
+                               H, W, method, beam_rows, winner)
 
 
 @functools.partial(jax.jit, static_argnames=("preserve_float",))

@@ -147,6 +147,111 @@ def test_projection_matches_reference(ref, synthetic_dataset, small_spec):
     assert lbl_mismatch <= 0.001 * npix, f"{lbl_mismatch} label mismatches"
 
 
+def test_projection_pdist_matches_reference(ref, synthetic_dataset,
+                                            small_spec):
+    """winner="pdist" vs the reference's pdist loop (laserscan.py:393-418):
+    per-pixel winner by distance of the float image coords to the pixel
+    center, first-come ties. Winner index and range must agree pixel-wise
+    (same quantization caveats as the depth variant)."""
+    seq = KittiSequence.open(synthetic_dataset)
+    pts, rem, lbl = seq.read(2)
+    H, W = small_spec.H, small_spec.W
+
+    s = ref.ls.SemLaserScan(H, W, nclasses=260, color_dict={0: [0, 0, 0]})
+    s.points = np.asarray(pts, np.float32).copy()
+    s.remissions = np.asarray(rem, np.float32).copy()
+    s.label = np.asarray(lbl, np.uint32).copy()
+    s.label_color = np.zeros((len(pts), 3), np.float32)
+    s.do_range_projection_new(small_spec.fov_up, small_spec.fov_down,
+                              remove=True, method="pdist")
+
+    cap = kitti.scan_capacity(len(pts))
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, cap)
+    ri = P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+                         jnp.asarray(m), H=H, W=W,
+                         fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down,
+                         winner="pdist")
+    our_idx = np.asarray(ri.index)
+    our_rng = np.asarray(ri.range)
+    our_lbl = np.asarray(ri.label, np.int64)
+
+    npix = H * W
+    ref_mask = s.index >= 0
+    both = ref_mask & (our_idx >= 0)
+    assert (ref_mask != (our_idx >= 0)).sum() <= 0.001 * npix
+    idx_mismatch = (both & (s.index != our_idx)).sum()
+    assert idx_mismatch <= 0.002 * npix, f"{idx_mismatch} index mismatches"
+    agree = both & (s.index == our_idx)
+    np.testing.assert_allclose(our_rng[agree], s.range_image[agree],
+                               atol=1e-4)
+    lbl_mismatch = (both
+                    & (s.label_image[..., 0].astype(np.int64) != our_lbl)
+                    ).sum()
+    assert lbl_mismatch <= 0.002 * npix, f"{lbl_mismatch} label mismatches"
+    # the two winner rules must actually differ when a farther point sits
+    # closer to the pixel center (the sparse fixture rarely collides, so
+    # build the collision explicitly): two points in one pixel — p0 nearer
+    # in depth, p1 nearer to the pixel center
+    fu, fd = 10.0, -10.0
+    fov = np.deg2rad(fu) + np.deg2rad(fd) * -1
+
+    def pt(depth, u_frac, v_frac, H=8, W=32):
+        yaw = (u_frac / W * 2.0 - 1.0) * np.pi
+        pitch = np.deg2rad(fu) - v_frac / H * fov
+        return [depth * np.cos(pitch) * np.cos(-yaw),
+                depth * np.cos(pitch) * np.sin(-yaw),
+                depth * np.sin(pitch)]
+
+    pts2 = np.asarray([pt(5.0, 16.05, 4.05),      # near depth, off-center
+                       pt(9.0, 16.5, 4.5)],       # far depth, dead center
+                      np.float32)
+    args = (jnp.asarray(pts2), jnp.zeros(2), jnp.asarray([10, 20]),
+            jnp.ones(2, bool))
+    kw = dict(H=8, W=32, fov_up_deg=fu, fov_down_deg=fd)
+    win_d = np.asarray(P.range_project(*args, **kw).index)
+    win_p = np.asarray(P.range_project(*args, winner="pdist", **kw).index)
+    assert win_d[4, 16] == 0 and win_p[4, 16] == 1
+
+
+def test_projection_legacy_far_to_near_matches_depth(ref, synthetic_dataset,
+                                                     small_spec):
+    """The legacy ``do_range_projection`` (laserscan.py:202-292) scatters
+    points in decreasing-depth order, so each pixel keeps its MINIMUM-depth
+    point — the same winner set as our winner="depth" z-buffer, except at
+    exact depth ties where numpy's unstable introsort makes the reference
+    arbitrary. Asserted here: winning RANGE values agree everywhere both
+    have data (value equality is tie-insensitive)."""
+    seq = KittiSequence.open(synthetic_dataset)
+    pts, rem, lbl = seq.read(2)
+    H, W = small_spec.H, small_spec.W
+
+    s = ref.ls.SemLaserScan(H, W, nclasses=260, color_dict={0: [0, 0, 0]})
+    s.points = np.asarray(pts, np.float32).copy()
+    s.remissions = np.asarray(rem, np.float32).copy()
+    s.label = np.asarray(lbl, np.uint32).copy()
+    s.label_color = np.zeros((len(pts), 3), np.float32)
+    s.do_range_projection(small_spec.fov_up, small_spec.fov_down,
+                          remove=True)
+    ref_mask = s.proj_idx >= 0          # -1 init = never written
+    ref_rng = s.proj_range
+
+    cap = kitti.scan_capacity(len(pts))
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, cap)
+    ri = P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+                         jnp.asarray(m), H=H, W=W,
+                         fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    our_rng = np.asarray(ri.range)
+    our_mask = np.asarray(ri.mask)
+
+    npix = H * W
+    assert (ref_mask != our_mask).sum() <= 0.001 * npix
+    both = ref_mask & our_mask
+    rng_mismatch = (both & (np.abs(ref_rng - our_rng) > 1e-4)).sum()
+    assert rng_mismatch <= 0.001 * npix, f"{rng_mismatch} range mismatches"
+
+
 def test_tsdf_integrate_matches_reference_cpu(ref, rng):
     """Our integrate vs the reference's CPU TSDFVolume.integrate
     (fusion_lidar.py:289-392) on a small grid, 2 fusions deep.
