@@ -19,14 +19,42 @@ import time
 import numpy as np
 
 
+def _compare_one(seq, eng, cfg, capacity, idx, vs_range, vs_label, vs_rem):
+    """IoU/Acc/MSE of one virtual scan vs its source scan."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.datasets import kitti
+    from lidar_transfer_tpu.metrics import compare_scans
+    from lidar_transfer_tpu.ops import projection as P
+
+    pts, rem, lbl = seq.read(idx)
+    p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
+    m = P.mask_classes(jnp.asarray(l), jnp.asarray(m), cfg.ignore_classes)
+    src = P.range_project(
+        jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
+        H=eng.source.H, W=eng.source.W, fov_up_deg=eng.source.fov_up,
+        fov_down_deg=eng.source.fov_down, beam_angles=eng.s_beam_angles)
+    res = compare_scans(src.label, src.mask, src.range,
+                        jnp.maximum(src.remission, 0.0),
+                        vs_label, vs_range, vs_rem)
+    return float(res.mean_iou), float(res.mean_acc), float(res.mse)
+
+
 def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
                       offset: int = 0, frames: int = 1,
                       target_yaml: str | None = None,
-                      fixed_bounds: bool = False) -> dict:
+                      fixed_bounds: bool = False,
+                      mesh=None) -> dict:
     """Run the transfer on `frames` scans and return mean IoU/Acc/MSE.
 
     One in-process equivalent of a reference grid-search cell
     (grid_search_nframes_voxelsize.py:73-89).
+
+    ``mesh``: optional jax.sharding.Mesh — the cell's frames run
+    device-parallel (one frame per device via
+    ``parallel.frame_parallel_transfer``; implies fixed_bounds) instead of
+    sequentially. The reference's only batch parallelism was 11 sequential
+    shell processes (experiments/run_lidar_deform.sh).
     """
     import jax
     import jax.numpy as jnp
@@ -34,8 +62,6 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
     from lidar_transfer_tpu.config import SensorSpec
     from lidar_transfer_tpu.datasets import kitti
     from lidar_transfer_tpu.datasets.kitti import KittiSequence
-    from lidar_transfer_tpu.metrics import compare_scans
-    from lidar_transfer_tpu.ops import projection as P
     from lidar_transfer_tpu.pipeline import TransferEngine, load_window
     from lidar_transfer_tpu.pipeline.multiscan import (max_end_index,
         min_start_index)
@@ -46,37 +72,50 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
     capacity = kitti.scan_capacity(
         max(os.path.getsize(f) // 16 for f in seq.scan_files))
     eng = TransferEngine(source, target, cfg, capacity,
-                         fixed_bounds=fixed_bounds)
+                         fixed_bounds=fixed_bounds or mesh is not None)
 
     idx0 = max(offset, min_start_index(cfg.number_of_scans))
     end = max_end_index(cfg.number_of_scans, len(seq))
+    indices = [idx0 + k for k in range(frames) if idx0 + k < end]
+    same_dims = (source.H, source.W) == (target.H, target.W)
     ious, accs, mses = [], [], []
     t0 = time.time()
-    n_done = 0
-    for k in range(frames):
-        idx = idx0 + k
-        if idx >= end:
-            break
-        window = load_window(seq, cfg, idx, capacity)
-        vs, _ = eng.transfer(window)
-        if (source.H, source.W) == (target.H, target.W):
-            pts, rem, lbl = seq.read(idx)
-            p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
-            m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
-                               cfg.ignore_classes)
-            src = P.range_project(
-                jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
-                H=source.H, W=source.W, fov_up_deg=source.fov_up,
-                fov_down_deg=source.fov_down,
-                beam_angles=eng.s_beam_angles)
-            res = compare_scans(src.label, src.mask, src.range,
-                                jnp.maximum(src.remission, 0.0),
-                                vs.label, vs.range, vs.remission)
-            ious.append(float(res.mean_iou))
-            accs.append(float(res.mean_acc))
-            mses.append(float(res.mse))
-        jax.block_until_ready(vs.range)
-        n_done += 1
+
+    if mesh is not None and indices:
+        if cfg.adaption != "mergemesh":
+            raise ValueError("device-parallel cells support mergemesh only")
+        from lidar_transfer_tpu.parallel.sharding import (
+            frame_parallel_transfer, stack_windows)
+
+        n_dev = mesh.shape["data"]
+        wins = [load_window(seq, cfg, i, capacity) for i in indices]
+        # pad the batch up to a device multiple; padded frames are dropped
+        pad = (-len(wins)) % n_dev
+        batch = stack_windows(wins + [wins[-1]] * pad)
+        rng_b, lbl_b, rem_b, _, _ = frame_parallel_transfer(
+            eng, batch, mesh=mesh)
+        jax.block_until_ready(rng_b)
+        n_done = len(indices)
+        if same_dims:
+            for k, idx in enumerate(indices):
+                i, a, m_ = _compare_one(seq, eng, cfg, capacity, idx,
+                                        rng_b[k], lbl_b[k], rem_b[k])
+                ious.append(i)
+                accs.append(a)
+                mses.append(m_)
+    else:
+        n_done = 0
+        for idx in indices:
+            window = load_window(seq, cfg, idx, capacity)
+            vs, _ = eng.transfer(window)
+            if same_dims:
+                i, a, m_ = _compare_one(seq, eng, cfg, capacity, idx,
+                                        vs.range, vs.label, vs.remission)
+                ious.append(i)
+                accs.append(a)
+                mses.append(m_)
+            jax.block_until_ready(vs.range)
+            n_done += 1
     dt = time.time() - t0
     out = {"frames": n_done, "seconds": dt,
            "scans_per_sec": n_done / max(dt, 1e-9)}
@@ -91,12 +130,16 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                 offset: int = 0, frames_per_cell: int = 1,
                 adaption: str = "mergemesh", base_cfg=None,
                 target_yaml: str | None = None,
-                out_dir: str | None = None, verbose: bool = True) -> dict:
+                out_dir: str | None = None, verbose: bool = True,
+                mesh=None) -> dict:
     """Sweep number_of_scans x voxel_size over sequences.
 
     Returns {"cells": [...], "grid": {...}} and, with ``out_dir``, writes
     ``grid_search.json`` + ``heatmap_{iou,acc,mse}.svg``
     (≡ reference plots, grid_search_nframes_voxelsize.py:96-111).
+
+    ``mesh``: optional device mesh — each cell's frames run one-per-device
+    (see ``evaluate_transfer``).
     """
     import dataclasses
 
@@ -114,7 +157,8 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                 r = evaluate_transfer(dataset, cfg, sequence=seq,
                                       offset=offset,
                                       frames=frames_per_cell,
-                                      target_yaml=target_yaml)
+                                      target_yaml=target_yaml,
+                                      mesh=mesh)
                 per_seq.append(r)
             cell = {"number_of_scans": int(nscans),
                     "voxel_size": float(voxel),
@@ -198,6 +242,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="grid_out/")
     p.add_argument("--config", "-c", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--device-parallel", action="store_true",
+                   help="run each cell's frames one-per-device over the "
+                        "available mesh (mergemesh only)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -208,13 +255,21 @@ def main(argv=None) -> int:
     from lidar_transfer_tpu.utils import setup_compile_cache
     setup_compile_cache()
 
+    mesh = None
+    if args.device_parallel:
+        import jax
+        import numpy as _np
+        devs = _np.asarray(jax.devices())
+        from jax.sharding import Mesh
+        mesh = Mesh(devs.reshape(len(devs), 1), ("data", "model"))
+
     base = (TransferConfig.from_yaml(args.config) if args.config
             else None)
     grid_search(args.dataset, frames_list=args.frames_list,
                 voxel_sizes=args.voxel_sizes, sequences=args.sequences,
                 offset=args.offset, frames_per_cell=args.frames_per_cell,
                 adaption=args.adaption, base_cfg=base,
-                target_yaml=args.target, out_dir=args.out)
+                target_yaml=args.target, out_dir=args.out, mesh=mesh)
     print(f"results in {args.out}")
     return 0
 

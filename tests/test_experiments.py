@@ -36,6 +36,24 @@ def test_grid_search_structured(tmp_path, synthetic_dataset):
     assert os.path.exists(os.path.join(out, "heatmap_iou.svg"))
 
 
+def test_grid_search_device_parallel_matches_sequential(synthetic_dataset):
+    """A device-parallel cell (one frame per device over the 8-CPU mesh)
+    must reproduce the sequential cell's metrics exactly: the frame body
+    is the same pure function either way."""
+    from lidar_transfer_tpu.experiments.grid_search import evaluate_transfer
+    from lidar_transfer_tpu.parallel.sharding import make_mesh
+
+    cfg = small_cfg(adaption="mergemesh")
+    seqkw = dict(sequence="00", frames=3, fixed_bounds=True)
+    seq_res = evaluate_transfer(synthetic_dataset, cfg, **seqkw)
+    mesh = make_mesh(8, devices=__import__("jax").devices("cpu"))
+    par_res = evaluate_transfer(synthetic_dataset, cfg, mesh=mesh, **seqkw)
+    assert par_res["frames"] == seq_res["frames"] == 3
+    np.testing.assert_allclose(par_res["iou"], seq_res["iou"], atol=1e-6)
+    np.testing.assert_allclose(par_res["acc"], seq_res["acc"], atol=1e-6)
+    np.testing.assert_allclose(par_res["mse"], seq_res["mse"], rtol=1e-5)
+
+
 def test_label_mapper_roundtrip():
     mapper = segmentation.LabelMapper.from_labels(
         dict(TransferConfig().labels))
