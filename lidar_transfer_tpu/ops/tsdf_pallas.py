@@ -11,24 +11,32 @@ The kernel removes the big gather entirely using the structure of the
 problem (SURVEY.md §2.2 N9):
 
   - a voxel's image COLUMN u depends only on its (x, y) — yaw is constant
-    along z. The host-side wrapper gathers each (x, y)'s image column once
-    (``jnp.take`` over the X*Y columns, cheap); label and a 14-bit
-    quantized remission ride ONE packed f32 column array (exact in the
-    23-bit mantissa) so the kernel gathers 2 values per voxel, not 3;
-  - inside the kernel, each grid step owns one x-plane's y-tile of the
-    volume plus its column values in VMEM. The only gather left is
-    ``take_along_axis`` over the padded H axis — a lane-local dynamic
-    gather Mosaic supports natively (operand and index minor dims must
-    match and stay <= 128);
+    along z. Stage 1 (``_build_cols_impl``, its own jit) fetches each
+    (x, y)'s column values as one contiguous 128-lane row of a transposed
+    image table — depth in lanes [0,64), a packed label*16384 + 14-bit
+    remission f32 (exact in the 23-bit mantissa) in [64,128) — yielding a
+    lane-minor (X, Y, 128) array with no transposes and no HBM tile
+    padding;
+  - stage 2 (the pallas_call, its own jit) gives each grid step one
+    x-plane's y-tile of the volume plus its col rows in VMEM. The only
+    gather left is ``take_along_axis`` over the 128-lane col rows (row v
+    for depth, v+64 for the packed value) — a lane-local dynamic gather
+    Mosaic supports natively (operand and index minor dims must match and
+    stay <= 128);
   - everything else (spherical geometry, FOV/crop masks, the reference's
     class-aware update rule, fusion_lidar.py:191-228) is elementwise VPU
     work, and the state tiles are updated in place via
     input_output_aliases.
 
-Measured ceiling on this stack: Pallas OUTPUT writes sustain only
-~113 GB/s regardless of grid/block/payload shape (XLA writes the same
-buffers at near-HBM rate), so the 8 B/voxel state write sets a ~76 ms
-floor at reference scale — the kernel runs within ~1.5x of that.
+Why two separate jits (round-2 finding, scripts/probe_integrate_ablate.py
++ probe_alias.py + probe_pallas_write.py): each stage is fast alone
+(~6 ms cols + ~10 ms kernel at 268M voxels) but the remote XLA:TPU
+compiler lowers the SAME gather ~5x slower when it feeds the pallas_call
+inside one program. Eagerly the two dispatches pipeline to ~12 ms at
+268M voxels / ~26 ms at the reference-scale 1.07G (41 Gvoxel/s, ~4x over
+the round-1 single-program form); traced callers inline both stages.
+Also: never put a blocking host read (int(jnp.max(...))) on the per-frame
+path — one sync serializes the whole dispatch stream (~30 ms each).
 
 Two geometry modes share the same kernel body:
   - in-kernel: pitch via a minimax atan polynomial (Mosaic lowers no
@@ -73,17 +81,25 @@ def _atan_poly(x):
     return jnp.where(x < 0, -p, p)
 
 
-def _kernel(params_ref, dcol_ref, lrcol_ref, *refs,
+def _kernel(params_ref, *all_refs,
             Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab,
-            write_weight):
+            write_weight, fused_cols):
     """One grid step: update BX x-planes' (y-tile) slabs of the volume.
 
-    refs = ([v_ref] if has_vtab) + 4 state-in refs + 4-or-3 state-out refs
-    (forwarded untouched to _kernel_plane, which unpacks them; weight has
-    no out ref when write_weight is False).
+    all_refs = col refs (1 fused (BX,R,2CW) ref when ``fused_cols`` —
+    depth in lanes [0,CW), packed label+rem in [CW,2CW) — else 2 separate
+    (BX,R,128) refs) + ([v_ref] if has_vtab) + 4 state-in refs + 4-or-3
+    state-out refs (forwarded untouched to _kernel_plane, which unpacks
+    them; weight has no out ref when write_weight is False).
     BX > 1 amortizes the per-grid-step overhead (~20 us each through the
     remote runtime) over more voxels; bounded by VMEM.
     """
+    if fused_cols:
+        dcol_ref, lrcol_ref = all_refs[0], None
+        refs = all_refs[1:]
+    else:
+        dcol_ref, lrcol_ref = all_refs[0], all_refs[1]
+        refs = all_refs[2:]
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
     oz = params_ref[0, 2]
@@ -126,15 +142,13 @@ def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
     rxy2 = px * px + py * py
     in_crop_xy = (gx < ax) & (gy < ay)
 
-    # cols arrive as (CW, BY) — Y-minor HBM layout avoids the 2x lane
-    # padding a (rows, 64)-minor layout would cost; transpose the small
-    # block (~256 KB) in VMEM and pad to full register width
-    dcol = dcol_ref[bx].T
-    lrcol = lrcol_ref[bx].T
-    if CW < _PW:
-        pad = ((0, 0), (0, _PW - CW))
-        dcol = jnp.pad(dcol, pad)
-        lrcol = jnp.pad(lrcol, pad)
+    # cols arrive (R, 128)-shaped per plane, lane-minor and register-wide:
+    # no in-kernel transpose, no padding. With a fused ref (CW=64), lanes
+    # [0,64) hold the depth column and [64,128) the packed label+rem
+    # column; take_along_axis picks row v from the depth half and v+CW
+    # from the packed half of the SAME operand.
+    dcol = dcol_ref[bx]
+    lrcol = lrcol_ref[bx] if lrcol_ref is not None else None
 
     for zc in range(0, Z, _PW):
         width = min(_PW, Z - zc)
@@ -161,7 +175,10 @@ def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
             v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
 
         depth_val = jnp.take_along_axis(dcol, v, axis=1)
-        lr = jnp.take_along_axis(lrcol, v, axis=1)
+        if lrcol is None:
+            lr = jnp.take_along_axis(dcol, v + CW, axis=1)
+        else:
+            lr = jnp.take_along_axis(lrcol, v, axis=1)
         new_label = jnp.floor(lr * (1.0 / 16384.0))
         new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
 
@@ -267,7 +284,9 @@ def _params(origin, fov_up_deg, fov_down_deg, obs_weight, active_dims):
 def _specs(Z, CW, BY, BX=1):
     state_spec = pl.BlockSpec((BX, BY, Z), lambda x, y: (x, y, 0),
                               memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((BX, CW, BY), lambda x, y: (x, 0, y),
+    # col arrays are (X, Y, 128) lane-minor (fused depth|packed when
+    # CW=64); blocks are full 128-lane rows — no transpose, no padding
+    col_spec = pl.BlockSpec((BX, BY, _PW), lambda x, y: (x, y, 0),
                             memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec((2, 8), lambda x, y: (0, 0),
                              memory_space=pltpu.SMEM)
@@ -275,24 +294,27 @@ def _specs(Z, CW, BY, BX=1):
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("dims", "voxel_size", "H", "W", "reset", "has_vtab",
-                     "write_weight", "interpret"),
-    donate_argnums=(0,))
-def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
-                           fov_up_deg, fov_down_deg, obs_weight,
-                           origin, active_dims, v_tab,
-                           dims, voxel_size, H, W, reset, has_vtab,
-                           write_weight, interpret):
-    X, Y, Z = dims
-    CW = _col_width(H)
-    BY = min(Y, 1024)
-    # reset mode keeps the aliased inputs out of VMEM, leaving room to
-    # process 2 x-planes per grid step (halves per-step overhead)
-    BX = 2 if (reset and X % 2 == 0) else 1
+    jax.jit, static_argnames=("dims", "voxel_size", "H", "W"))
+def _build_cols_impl(depth_im, label_im, rem_im, origin,
+                     dims, voxel_size, H, W):
+    """Stage 1: per-(x,y) image column values as (X, Y, 128) lane-minor
+    arrays (fused depth|packed table when H <= 64).
 
-    # per-(x,y) image column index u (yaw depends only on x,y); gather
-    # CW-wide contiguous rows of the transposed image — no giant transpose
+    u depends only on (x, y) — yaw is constant along z — so each (x, y)
+    fetches one contiguous 128-lane ROW of a transposed image table via a
+    single advanced-index gather: no giant transposes, no tiled-lane
+    padding in HBM, no per-plane .T inside the kernel.
+
+    This stage is a SEPARATE jit from the kernel stage on purpose: the
+    remote XLA:TPU compiler reliably lowers the row gather fast as its own
+    program (~6 ms at 268M voxels) but pathologically (~5x whole-program
+    slowdown) when the same gather feeds the pallas_call inside one
+    program (scripts/probe_integrate_ablate.py). Eager callers therefore
+    pay two pipelined dispatches; traced callers inline both stages and
+    take their chances with the compiler regime.
+    """
+    X, Y = dims[0], dims[1]
+    CW = _col_width(H)
     gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 0)
     gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y), 1)
     px = origin[0] + gx * voxel_size
@@ -301,20 +323,43 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     u = jnp.clip(jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * W),
                  0, W - 1).astype(jnp.int32)
 
-    def cols_of(img):
+    def padded_T(img):
         img = img.astype(jnp.float32)
         if CW > H:
-            img = jnp.pad(img, ((0, CW - H), (0, 0)))        # (CW, W)
-        c = jnp.take(img, u, axis=1)                         # (CW, X, Y)
-        # layout (X, CW, Y): minor dim Y -> no tiled-lane padding in HBM
-        return jnp.transpose(c, (1, 0, 2))
+            img = jnp.pad(img, ((0, CW - H), (0, 0)))
+        return img.T                                         # (W, CW)
 
-    dcol = cols_of(depth_im)
-    # pack label + 14-bit remission into one f32 column array (one fewer
+    # pack label + 14-bit remission into one f32 column (one fewer
     # in-kernel gather and ~1 GB less HBM at reference scale)
     packed = (label_im.astype(jnp.float32) * 16384.0
               + jnp.round(jnp.clip(rem_im, 0.0, 1.0) * 16383.0))
-    lrcol = cols_of(packed)
+    if CW == 64:
+        # one fused table: lanes [0,64) depth, [64,128) packed
+        img2T = jnp.concatenate([padded_T(depth_im), padded_T(packed)],
+                                axis=1)                      # (W, 128)
+        return (img2T[u],)                                   # (X, Y, 128)
+    # H in (64,128]: two full-width tables (take_along operands are
+    # capped at 128 lanes, so they cannot fuse)
+    return (padded_T(depth_im)[u], padded_T(packed)[u])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "voxel_size", "H", "reset", "has_vtab",
+                     "write_weight", "interpret"),
+    donate_argnums=(0,))
+def _integrate_kernel_impl(state: TSDFState, col_args,
+                           fov_up_deg, fov_down_deg, obs_weight,
+                           origin, active_dims, v_tab,
+                           dims, voxel_size, H, reset, has_vtab,
+                           write_weight, interpret):
+    """Stage 2: the Pallas kernel over the volume, fed materialized cols."""
+    X, Y, Z = dims
+    CW = _col_width(H)
+    BY = min(Y, 1024)
+    # reset mode keeps the aliased inputs out of VMEM, leaving room to
+    # process 2 x-planes per grid step (halves per-step overhead)
+    BX = 2 if (reset and X % 2 == 0) else 1
 
     params = _params(origin, fov_up_deg, fov_down_deg, obs_weight,
                      active_dims)
@@ -327,11 +372,13 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     kernel = functools.partial(
         _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
-        reset=reset, has_vtab=has_vtab, write_weight=write_weight)
+        reset=reset, has_vtab=has_vtab, write_weight=write_weight,
+        fused_cols=len(col_args) == 1)
 
     vtab_specs = [state_spec] if has_vtab else []
     vtab_args = (v_tab,) if has_vtab else ()
-    alias_base = 3 + len(vtab_specs)
+    # state inputs sit after params + col arrays + optional vtab
+    alias_base = 1 + len(col_args) + len(vtab_specs)
     # write_weight=False drops the weight volume from the outputs (and its
     # full-volume HBM write); its state index 1 aliases nothing and the
     # input buffer is returned untouched
@@ -339,7 +386,7 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
     out = pl.pallas_call(
         kernel,
         grid=(X // BX, Y // BY),
-        in_specs=[smem_spec, col_spec, col_spec, *vtab_specs,
+        in_specs=[smem_spec, *([col_spec] * len(col_args)), *vtab_specs,
                   *([state_in_spec] * 4)],
         out_specs=(state_spec,) * len(out_state_idx),
         out_shape=tuple(
@@ -352,7 +399,7 @@ def _integrate_pallas_impl(state: TSDFState, depth_im, label_im, rem_im,
             # BX=2 sits ~28 KB over the default 16 MB scoped budget
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(params, dcol, lrcol, *vtab_args, *state)
+    )(params, *col_args, *vtab_args, *state)
     if write_weight:
         return TSDFState(*out)
     return TSDFState(out[0], state.weight, out[1], out[2])
@@ -425,22 +472,40 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
             "integrate (need H<=128, Y % min(Y,1024) == 0)")
     # the packed label*16384 + 14-bit remission column is exact in the f32
     # mantissa only for label ids < 512 (SemanticKITTI: <= 259); larger ids
-    # would silently corrupt labels AND remissions. Checked eagerly when
-    # values are available (inside a jit the label is a tracer — the bound
-    # is then the caller's contract, documented here).
+    # would silently corrupt labels AND remissions. Checked on the FIRST
+    # eager call per image shape only: int(jnp.max(...)) is a blocking
+    # device round-trip (~30 ms through the remote runtime), which would
+    # serialize the otherwise fully pipelined per-frame dispatch stream
+    # (measured 12 -> 43 ms/integrate at 268M voxels). Label id spaces are
+    # per-dataset constants, so frame 0 catches misconfiguration.
     if not isinstance(label_im, jax.core.Tracer):
-        max_label = int(jnp.max(jnp.where(depth_im > 0, label_im, 0)))
-        if max_label >= 512:
-            raise ValueError(
-                f"integrate_pallas packs label+remission into one f32 "
-                f"column: label ids must be < 512, got {max_label}")
+        checked = getattr(integrate_pallas, "_label_checked", set())
+        key = (label_im.shape, str(label_im.dtype))
+        if key not in checked:
+            try:
+                max_label = int(jnp.max(jnp.where(depth_im > 0,
+                                                  label_im, 0)))
+            except jax.errors.ConcretizationTypeError:
+                max_label = -1      # inside an outer trace; skip the check
+            if max_label >= 512:
+                raise ValueError(
+                    f"integrate_pallas packs label+remission into one f32 "
+                    f"column: label ids must be < 512, got {max_label}")
+            checked.add(key)
+            integrate_pallas._label_checked = checked
     has_vtab = geom is not None
     v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
-    return _integrate_pallas_impl(
-        state, depth_im, label_im.astype(jnp.int32), rem_im,
+    # two pipelined dispatches when called eagerly — see _build_cols_impl
+    # for why the col gather and the kernel must not share one program
+    cols = _build_cols_impl(
+        depth_im, label_im.astype(jnp.int32), rem_im,
+        jnp.asarray(origin, jnp.float32),
+        dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W)
+    return _integrate_kernel_impl(
+        state, cols,
         jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
         jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
         jnp.asarray(active_dims, jnp.float32), v_tab,
-        dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W,
+        dims=spec.dims, voxel_size=spec.voxel_size, H=H,
         reset=reset, has_vtab=has_vtab, write_weight=write_weight,
         interpret=interpret)

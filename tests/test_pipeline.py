@@ -136,6 +136,34 @@ def test_mergemesh_downbeam(synthetic_dataset, small_spec, scene):
     assert agree > 0.85
 
 
+def test_catmesh_identity(synthetic_dataset, small_spec, scene):
+    """catmesh 16->16 (the strategy the reference stubs, laserscan.py:1014):
+    per-category meshes, nearest-hit raycast. Ranges must track the source
+    like mergemesh does, labels must be pure category ids, and the
+    adaption must be reachable through transfer()."""
+    cfg = make_cfg(adaption="catmesh", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    idx = 2
+    window = load_window(seq, cfg, idx, CAP)
+    vs, ri = eng.transfer(window)
+    assert vs.adaption == "catmesh"
+    src = source_range_image(seq, small_spec, cfg, idx)
+
+    vs_mask = np.asarray(vs.mask)
+    both = vs_mask & np.asarray(src.mask) & (np.asarray(src.range) < 14.0)
+    assert both.sum() > 0.4 * np.asarray(src.mask).sum()
+    err = np.abs(np.asarray(vs.range)[both] - np.asarray(src.range)[both])
+    assert np.median(err) < 3 * cfg.voxel_size
+    agree = (np.asarray(vs.label)[both] ==
+             np.asarray(src.label)[both]).mean()
+    assert agree > 0.8
+    # label purity: every hit carries a category that exists in the input
+    in_labels = set(np.unique(np.asarray(window.labels)))
+    out_labels = set(np.unique(np.asarray(vs.label)[vs_mask]))
+    assert out_labels <= in_labels | {0}
+
+
 def test_mesh_adaption_runs(synthetic_dataset, small_spec):
     cfg = make_cfg(adaption="mesh", number_of_scans=2, voxel_size=0.25)
     seq = KittiSequence.open(synthetic_dataset)
@@ -168,8 +196,8 @@ def test_writer_roundtrip(tmp_path, synthetic_dataset, small_spec):
 
 
 def test_unknown_adaption_raises(synthetic_dataset, small_spec):
-    # catmesh is a parity stub (NotImplementedError, see
-    # tests/test_rolling_shutter.py); a truly unknown name is a ValueError
+    # an unknown adaption name is a ValueError (all four named strategies
+    # — cp/mesh/mergemesh/catmesh — are implemented)
     cfg = make_cfg(adaption="warpfield")
     seq = KittiSequence.open(synthetic_dataset)
     eng = TransferEngine(small_spec, small_spec, cfg, CAP)

@@ -1,5 +1,5 @@
 """Rolling-shutter rays, pose interpolation, per-ray-origin raycast,
-catmesh stub, torch interop."""
+catmesh, torch interop."""
 
 import numpy as np
 import pytest
@@ -90,27 +90,22 @@ def test_raycast_per_ray_origins():
     assert (r[0] - r[1]) == pytest.approx(2.5, abs=0.05)
 
 
-def test_catmesh_stub(synthetic_dataset, small_spec):
-    import dataclasses
-
+def test_unknown_adaption_raises_valueerror(synthetic_dataset, small_spec):
+    # catmesh is now implemented (tests/test_pipeline.py::
+    # test_catmesh_identity); only truly unknown names raise
     from lidar_transfer_tpu.config import TransferConfig
     from lidar_transfer_tpu.datasets.kitti import KittiSequence
     from lidar_transfer_tpu.pipeline import TransferEngine, load_window
 
-    cfg = TransferConfig(adaption="catmesh", number_of_scans=1,
+    cfg = TransferConfig(adaption="bogus", number_of_scans=1,
                          voxel_size=0.25,
                          voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
                                        (-4.0, 4.0)))
     seq = KittiSequence.open(synthetic_dataset)
     eng = TransferEngine(small_spec, small_spec, cfg, 8192)
     window = load_window(seq, cfg, 0, 8192)
-    with pytest.raises(NotImplementedError):
-        eng.transfer(window)
     with pytest.raises(ValueError):
-        eng2 = TransferEngine(small_spec, small_spec,
-                              dataclasses.replace(cfg, adaption="bogus"),
-                              8192)
-        eng2.transfer(window)
+        eng.transfer(window)
 
 
 def test_torch_interop(synthetic_dataset, small_spec):
