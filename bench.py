@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--nscans", type=int, default=1)
+    ap.add_argument("--adaption", default="mergemesh",
+                    choices=["mergemesh", "mesh"],
+                    help="mesh = per-scan integrates (staged dispatch; "
+                         "measures the materialized-fusion pipeline)")
     ap.add_argument("--bounds", type=float, default=50.0,
                     help="Half-extent of the xy voxel bounds in meters "
                          "(50 = the reference's config/lidar_transfer.yaml "
@@ -75,7 +79,7 @@ def main():
                         fov_down=-25.0, angle_res_hor=360.0 / 2048.0)
     b = args.bounds
     cfg = TransferConfig(
-        adaption="mergemesh", number_of_scans=args.nscans,
+        adaption=args.adaption, number_of_scans=args.nscans,
         voxel_size=args.voxel,
         voxel_bounds=((-b, b), (-b, b), (-5.0, 5.0)))
 
@@ -112,7 +116,7 @@ def main():
         f"({np.prod(eng.vol_dims)/1e6:.1f}M voxels)")
 
     def run_frame(w):
-        vs, _ = eng.mergemesh(w)
+        vs, _ = eng.transfer(w)
         return vs
 
     # warmup (compile)
@@ -161,7 +165,10 @@ def main():
     log("miss decomposition: " + json.dumps(
         {k: round(v, 4) for k, v in dec.rates().items()}))
 
-    if args.fusion:
+    if args.fusion and args.adaption != "mergemesh":
+        log("--fusion measures the deferred mergemesh integrate; the mesh "
+            "adaption already materializes per scan — skipping")
+    elif args.fusion:
         # fusion FPS ≡ the reference's printed field (laserscan.py:971-977)
         # — the class-aware integrate at full volume scale (materialized;
         # the transfer itself never reads it and defers this write)
@@ -182,7 +189,8 @@ def main():
             f"{f_dt*1e3:.1f} ms per full-volume class-aware integrate)")
 
     print(json.dumps({
-        "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, mergemesh, "
+        "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, "
+                  f"{args.adaption}, "
                   f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
                   f"nscans {args.nscans})",
         "value": round(scans_per_sec, 2),

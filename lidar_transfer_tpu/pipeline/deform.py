@@ -520,28 +520,78 @@ class TransferEngine:
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
                 ri0, state, origin)
 
+    def _mesh_stage_jits(self):
+        """Cached per-stage jits for the staged mesh pipeline."""
+        jits = getattr(self, "_mesh_jits", None)
+        if jits is None:
+            from lidar_transfer_tpu.ops.transforms import transform_points
+
+            def proj(window: ScanWindow):
+                pts_all = transform_points(window.points, window.rel_pose)
+                ris = tuple(
+                    P.range_project(
+                        pts_all[s], window.remissions[s], window.labels[s],
+                        window.valid[s], H=self.source.H, W=self.source.W,
+                        fov_up_deg=self.source.fov_up,
+                        fov_down_deg=self.source.fov_down,
+                        beam_angles=self.s_beam_angles)
+                    for s in range(window.points.shape[0]))
+                return pts_all.reshape(-1, 3), ris
+
+            def synth(state, origin, active, ris, flat_pts, flat_valid):
+                fused = [(ri, self.source.fov_up, self.source.fov_down)
+                         for ri in ris]
+                vs = self._synthesize(state, origin, active, fused,
+                                      flat_pts, flat_valid)
+                return vs.range, vs.label, vs.remission, vs.points, vs.mask
+
+            jits = (jax.jit(proj), jax.jit(synth))
+            self._mesh_jits = jits
+        return jits
+
     def mesh(self, window: ScanWindow) -> tuple[VirtualScan, P.RangeImage]:
         """Per-scan TSDF adaption ≡ laserscan.py:863-918: each scan gets
         its own range image at the SOURCE spec, integrated sequentially.
-        One jitted program per frame when fixed_bounds (see mergemesh)."""
+
+        Staged dispatch, not one whole-frame jit: the remote compiler
+        lowers the integrate's column gather ~5x slower when it shares a
+        program with the pallas kernel (ops/tsdf_pallas.py docstring), so
+        the frame runs as [projection jit] -> nscans x [eager 2-stage
+        integrate] -> [synthesis jit]. The dispatches pipeline; device
+        work is serialized either way.
+        """
         geom = self._ensure_geom(self.source.fov_up, self.source.fov_down,
                                  self.source.H)
-        if self.fixed_bounds:
-            fn = getattr(self, "_mesh_jit", None)
-            if fn is None:
-                fn = jax.jit(self._mesh_core, donate_argnums=(1,))
-                self._mesh_jit = fn
-            out = fn(window, self._take_state(), geom)
-        else:
+        if not self.fixed_bounds:
             out = self._mesh_core(window, self._take_state(), geom)
-        rng, lbl, rem, ends, mask, ri0, state, origin = out
+            rng, lbl, rem, ends, mask, ri0, state, origin = out
+            self._keep_state(state)
+            self._fused = True
+            self._pending_fusion = None
+            self._last_origin = origin
+            vs = VirtualScan(range=rng, label=lbl, remission=rem,
+                             points=ends, mask=mask, adaption="mesh")
+            return vs, ri0
+
+        proj_jit, synth_jit = self._mesh_stage_jits()
+        flat_pts, ris = proj_jit(window)
+        origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
+        active = jnp.asarray(self.vol_spec.dims, jnp.int32)
+        state = self._take_state()
+        for s, ri in enumerate(ris):
+            state = self._integrate(state, ri, self.source.fov_up,
+                                    self.source.fov_down, origin, active,
+                                    reset=(s == 0), geom=geom)
+        flat_valid = window.valid.reshape(-1)
+        rng, lbl, rem, ends, mask = synth_jit(state, origin, active, ris,
+                                              flat_pts, flat_valid)
         self._keep_state(state)
         self._fused = True
         self._pending_fusion = None
         self._last_origin = origin
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mesh")
-        return vs, ri0
+        return vs, ris[0]
 
     # ------------------------------------------------------------- catmesh
     def catmesh(self, window: ScanWindow

@@ -28,12 +28,17 @@ N_CHAIN = 10
 
 
 def chain(fn, window, label):
+    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
+
     @jax.jit
     def run(w):
         def body(_, w):
             out = fn(w)
             # perturb the input so iterations can't collapse
-            return w._replace(points=w.points + out * 0.0)
+            return ScanWindow(points=w.points + out * 0.0,
+                              remissions=w.remissions, labels=w.labels,
+                              valid=w.valid, rel_pose=w.rel_pose,
+                              primary_index=w.primary_index)
         return jax.lax.fori_loop(0, N_CHAIN, body, w)
 
     out = run(window)
