@@ -176,7 +176,12 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
     result = {"grid": {"frames_list": list(frames_list),
                        "voxel_sizes": list(voxel_sizes),
                        "sequences": list(sequences),
-                       "adaption": adaption},
+                       "adaption": adaption,
+                       # device-parallel cells imply fixed config-bounds
+                       # volumes (no per-frame cloud clipping) — quality
+                       # surfaces are only comparable within one mode
+                       "device_parallel": mesh is not None,
+                       "fixed_bounds": mesh is not None},
               "cells": cells}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -257,11 +262,8 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.device_parallel:
-        import jax
-        import numpy as _np
-        devs = _np.asarray(jax.devices())
-        from jax.sharding import Mesh
-        mesh = Mesh(devs.reshape(len(devs), 1), ("data", "model"))
+        from lidar_transfer_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(model=1)       # all devices on the frame axis
 
     base = (TransferConfig.from_yaml(args.config) if args.config
             else None)

@@ -189,10 +189,14 @@ def _range_project_impl(points, remissions, labels, valid,
         # reference method="pdist" (laserscan.py:393-418): the pixel's
         # winner is the point whose FLOAT image coords lie closest to the
         # pixel CENTER (strict '<' against an init of 1000 -> first-come
-        # ties), not the nearest-in-depth point
+        # ties), not the nearest-in-depth point. The SQUARED distance is
+        # used as the sort key — sqrt is monotone, so the winner set is
+        # identical and the per-point transcendental is free (near-tie
+        # float disagreements vs the reference's f64 norm exist either
+        # way and are covered by the parity test's epsilon).
         dyp = vf - (py.astype(jnp.float32) + 0.5)
         dxp = uf - (px.astype(jnp.float32) + 0.5)
-        key = jnp.sqrt(dyp * dyp + dxp * dxp)
+        key = dyp * dyp + dxp * dxp
     else:
         key = depth
     depth_key = jnp.where(valid, key, jnp.inf)
@@ -324,6 +328,9 @@ def reverse_project(image: RangeImage, *, fov_up_deg, fov_down_deg,
     """Back-project a range image to 3D points (H*W, 3).
 
     ≡ reference ``do_reverse_projection_new`` (laserscan.py:475-501).
+    The legacy ``do_reverse_projection`` (laserscan.py:444-473) applies
+    the same inverse spherical mapping through clamped integer pixel
+    coords — exactly this function with ``preserve_float=False``.
     Pixels without data have range 0 and map to the origin; the dataset
     writer drops them (≡ laserscan.py:1151).
     """

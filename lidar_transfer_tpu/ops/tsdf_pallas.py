@@ -472,27 +472,33 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
             "integrate (need H<=128, Y % min(Y,1024) == 0)")
     # the packed label*16384 + 14-bit remission column is exact in the f32
     # mantissa only for label ids < 512 (SemanticKITTI: <= 259); larger ids
-    # would silently corrupt labels AND remissions. Checked on the FIRST
-    # eager call per image shape only: int(jnp.max(...)) is a blocking
-    # device round-trip (~30 ms through the remote runtime), which would
-    # serialize the otherwise fully pipelined per-frame dispatch stream
-    # (measured 12 -> 43 ms/integrate at 268M voxels). Label id spaces are
-    # per-dataset constants, so frame 0 catches misconfiguration.
+    # would silently corrupt labels AND remissions. Checked ASYNCHRONOUSLY:
+    # a blocking int(jnp.max(...)) per call costs the full ~30 ms remote
+    # round-trip and serializes the pipelined dispatch stream (measured
+    # 12 -> 43 ms/integrate at 268M voxels). Instead each eager call
+    # enqueues its max-label reduction and inspects previously enqueued
+    # ones that have become ready — a violation raises within a frame or
+    # two, with zero added synchronization.
     if not isinstance(label_im, jax.core.Tracer):
-        checked = getattr(integrate_pallas, "_label_checked", set())
-        key = (label_im.shape, str(label_im.dtype))
-        if key not in checked:
-            try:
-                max_label = int(jnp.max(jnp.where(depth_im > 0,
-                                                  label_im, 0)))
-            except jax.errors.ConcretizationTypeError:
-                max_label = -1      # inside an outer trace; skip the check
-            if max_label >= 512:
-                raise ValueError(
-                    f"integrate_pallas packs label+remission into one f32 "
-                    f"column: label ids must be < 512, got {max_label}")
-            checked.add(key)
-            integrate_pallas._label_checked = checked
+        pending = getattr(integrate_pallas, "_pending_label_checks", None)
+        if pending is None:
+            pending = []
+            integrate_pallas._pending_label_checks = pending
+        for arr in pending[:]:
+            if arr.is_ready():
+                pending.remove(arr)
+                bad = int(arr)
+                if bad >= 512:
+                    raise ValueError(
+                        "integrate_pallas packs label+remission into one "
+                        f"f32 column: label ids must be < 512, got {bad}")
+        try:
+            mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
+            if not isinstance(mx, jax.core.Tracer):
+                pending.append(mx)
+                del pending[:-8]        # bound the queue
+        except jax.errors.ConcretizationTypeError:
+            pass                        # inside an outer trace
     has_vtab = geom is not None
     v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
     # two pipelined dispatches when called eagerly — see _build_cols_impl

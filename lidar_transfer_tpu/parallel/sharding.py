@@ -31,9 +31,13 @@ from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec, integrate
 
 def make_mesh(n_devices: int | None = None,
               axis_names: tuple[str, str] = ("data", "model"),
-              devices=None) -> Mesh:
+              devices=None, model: int | None = None) -> Mesh:
     """Mesh over available devices: model axis gets the largest factor <= 2
-    unless n is a perfect split; rest is data."""
+    unless n is a perfect split; rest is data.
+
+    ``model``: explicit model-axis size (e.g. 1 for purely data-parallel
+    consumers like frame_parallel_transfer); None = the auto policy.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None and len(devices) < n_devices:
@@ -43,7 +47,10 @@ def make_mesh(n_devices: int | None = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    model = 2 if n % 2 == 0 and n >= 2 else 1
+    if model is None:
+        model = 2 if n % 2 == 0 and n >= 2 else 1
+    elif n % model:
+        raise ValueError(f"{n} devices not divisible by model={model}")
     data = n // model
     dev_array = np.asarray(devices)[: data * model].reshape(data, model)
     return Mesh(dev_array, axis_names)

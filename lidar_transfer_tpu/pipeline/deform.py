@@ -618,6 +618,13 @@ class TransferEngine:
         marching + mesh raycast; cost scales with surface area x rays),
         not the production splat path — use it at clipped bounds or
         moderate volume sizes.
+
+        Engine note: the native BVH caster and the dense JAX
+        Möller–Trumbore fallback may disagree at a small number of
+        category-SEAM pixels (adjacent categories emit coincident
+        triangles whose ray hits tie at machine epsilon; ~0.7% of hit
+        pixels on the synthetic fixture). Both resolve to a valid nearest
+        surface; which category wins the seam is engine-dependent.
         """
         from lidar_transfer_tpu.ops.marching import (dedupe_mesh,
                                                      marching_tetrahedra)

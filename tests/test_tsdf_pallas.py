@@ -141,3 +141,49 @@ def test_pallas_write_weight_false(setup, reset):
     # weight buffer is the unmodified input
     np.testing.assert_array_equal(np.asarray(slim.weight),
                                   np.asarray(s0.weight))
+
+
+def test_pallas_twotable_branch_h_over_64(setup):
+    """H in (64,128] takes the NON-fused two-table column branch
+    (fused_cols=False, CW=128, separate depth and packed lr take_alongs)
+    — previously only the fused CW=64 branch had coverage."""
+    rng, spec, _, _, _ = setup
+    H, W = 100, 256
+    depth = (rng.uniform(2.0, 14.0, (H, W))
+             * (rng.random((H, W)) > 0.2)).astype(np.float32)
+    label = rng.integers(0, 30, (H, W)).astype(np.int32)
+    rem = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+    s0 = _rand_state(rng, spec)
+    ref = TS.integrate(
+        TS.TSDFState(*(jnp.array(a) for a in s0)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem), **kw)
+    out = integrate_pallas(
+        TS.TSDFState(*(jnp.array(a) for a in s0)), spec,
+        jnp.asarray(depth), jnp.asarray(label), jnp.asarray(rem),
+        reset=False, interpret=True, **kw)
+    # the in-kernel atan polynomial (~1e-5 rad) may flip in_fov / the row
+    # index for voxels within that band of an FOV or row boundary (module
+    # docstring); with 100 rows a handful of voxels sit in the band —
+    # everything else must match exactly
+    lbl_mism = (np.asarray(out.label) != np.asarray(ref.label)).sum()
+    assert lbl_mism <= 5e-4 * np.prod(spec.dims), f"{lbl_mism} labels"
+    close = np.isclose(np.asarray(out.tsdf), np.asarray(ref.tsdf),
+                       atol=1e-5)
+    assert (~close).sum() <= 5e-4 * np.prod(spec.dims)
+
+
+def test_label_overflow_guard_raises():
+    """Label ids >= 512 cannot ride the packed f32 column; the async
+    guard must raise within a couple of calls (not silently corrupt)."""
+    spec = TS.VolumeSpec(origin=(-5.0, -5.0, -2.0), voxel_size=0.5,
+                         dims=(8, 128, 16))
+    depth = jnp.full((16, 256), 4.0, jnp.float32)
+    label = jnp.full((16, 256), 700, jnp.int32)
+    rem = jnp.zeros((16, 256), jnp.float32)
+    st = spec.init_state()
+    with pytest.raises(ValueError, match="label ids must be < 512"):
+        for _ in range(4):      # guard is asynchronous: allow a few calls
+            st = integrate_pallas(st, spec, depth, label, rem,
+                                  fov_up_deg=8.0, fov_down_deg=-22.0,
+                                  interpret=True)
