@@ -284,8 +284,19 @@ def evaluate_semantics(dataset: str, predictions: str, *,
     per = {mapper.raw_ids[i]: float(per_class[i])
            for i in range(mapper.num_classes)
            if i not in mapper.ignore_indices}
-    return {"miou": float(miou), "acc": float(acc), "scans": n_scans,
-            "iou_per_class": per}
+    # classes with zero ground-truth points drag ``miou`` toward 0 on
+    # datasets that only exercise a subset of the label space (the
+    # semantic-kitti-api mean behaves the same way); ``miou_present``
+    # averages only classes that actually occur in the ground truth —
+    # the scan-level compare() applies the same empty-class ignoring
+    # (laserscan.py:1222-1228)
+    gt_counts = np.asarray(ev.conf).sum(axis=0)
+    present = [i for i in range(mapper.num_classes)
+               if i not in mapper.ignore_indices and gt_counts[i] > 0]
+    miou_present = (float(np.mean([float(per_class[i]) for i in present]))
+                    if present else 0.0)
+    return {"miou": float(miou), "miou_present": miou_present,
+            "acc": float(acc), "scans": n_scans, "iou_per_class": per}
 
 
 def main(argv=None) -> int:

@@ -123,6 +123,11 @@ def test_evaluate_perfect_predictions(tmp_path, synthetic_dataset):
     present = [c for c, v in res["iou_per_class"].items() if v > 0]
     for c in present:
         assert res["iou_per_class"][c] > 0.999
+    # the synthetic scene exercises only a few classes: the all-classes
+    # mean is dragged down by absent ones (semantic-kitti-api behavior)
+    # while miou_present must be ~1 for perfect predictions
+    assert res["miou_present"] > 0.999
+    assert res["miou"] < res["miou_present"]
 
 
 def test_compare_datasets(tmp_path, synthetic_dataset):
