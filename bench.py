@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--nscans", type=int, default=1)
+    ap.add_argument("--identity", action="store_true",
+                    help="identity 64x2048 target instead of 32 beams "
+                         "(BASELINE.md protocol's second operating point)")
     ap.add_argument("--adaption", default="mergemesh",
                     choices=["mergemesh", "mesh"],
                     help="mesh = per-scan integrates (staged dispatch; "
@@ -75,8 +78,11 @@ def main():
     log(f"transfer-path warmup: {time.time()-t0:.1f}s")
 
     source = HDL64
-    target = SensorSpec(name="HDL32-like", beams=32, fov_up=3.0,
-                        fov_down=-25.0, angle_res_hor=360.0 / 2048.0)
+    if args.identity:
+        target = source          # 64x2048 -> 64x2048 (protocol's 2nd point)
+    else:
+        target = SensorSpec(name="HDL32-like", beams=32, fov_up=3.0,
+                            fov_down=-25.0, angle_res_hor=360.0 / 2048.0)
     b = args.bounds
     cfg = TransferConfig(
         adaption=args.adaption, number_of_scans=args.nscans,
@@ -189,7 +195,8 @@ def main():
             f"{f_dt*1e3:.1f} ms per full-volume class-aware integrate)")
 
     print(json.dumps({
-        "metric": "virtual scans/sec/chip (64x2048 -> 32x2048, "
+        "metric": f"virtual scans/sec/chip (64x2048 -> "
+                  f"{target.H}x{target.W}, "
                   f"{args.adaption}, "
                   f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
                   f"nscans {args.nscans})",

@@ -216,7 +216,11 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
     lo = vorigin
     hi = vorigin + jnp.asarray(dims, jnp.float32) * vox
 
-    tsdf_f = tsdf.astype(jnp.float32).reshape(-1)
+    # keep the volume in its STORAGE dtype (bf16 in the compact layout) and
+    # cast per gathered sample — .astype on the full array materializes a
+    # second full-volume copy (4.3 GB f32 at reference scale), which OOMs
+    # next to the live 8.6 GB state + integrate geometry tables
+    tsdf_f = tsdf.reshape(-1)
     label_f = label.reshape(-1)
     rem_f = rem.reshape(-1)
     occ_f = occ.reshape(-1)
@@ -241,7 +245,8 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
         ci = gic // block
         cflat = (ci[:, 0] * oy + ci[:, 1]) * oz + ci[:, 2]
         occ_here = jnp.where(inside, occ_f[cflat], False)
-        val = jnp.where(inside & occ_here, tsdf_f[flat], 1.0)
+        val = jnp.where(inside & occ_here,
+                        tsdf_f[flat].astype(jnp.float32), 1.0)
         return val, occ_here, inside, flat
 
     def sample_trilinear(t):
@@ -265,7 +270,8 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
                     w = ((f[:, 0] if dx else 1.0 - f[:, 0]) *
                          (f[:, 1] if dy else 1.0 - f[:, 1]) *
                          (f[:, 2] if dz else 1.0 - f[:, 2]))
-                    acc = acc + w * tsdf_f[base + (dx * Y + dy) * Z + dz]
+                    corner = tsdf_f[base + (dx * Y + dy) * Z + dz]
+                    acc = acc + w * corner.astype(jnp.float32)
         return acc
 
     t0 = jnp.maximum(t_near, 0.0) + 1e-4

@@ -346,9 +346,24 @@ class TransferEngine:
         vol_origin = jnp.asarray(
             getattr(self, "_last_origin", self.vol_spec.origin),
             jnp.float32)
+        # Occupancy from the fused sources' surface endpoints (O(points)):
+        # the class-aware integrate only touches voxels within trunc of a
+        # range-image endpoint, so the reverse-projected winners cover the
+        # whole written band. Without this, raycast_tsdf scans the full
+        # volume (occupancy_grid) — at 1.07G voxels that transient OOMs
+        # next to the live 8.6 GB state.
+        occ = None
+        for ri, fu, fd in getattr(self, "_last_sources", ()):
+            # preserve_float: the winner's float coords reproduce its true
+            # angles exactly (beam tables included)
+            back = P.reverse_project(ri, fov_up_deg=fu, fov_down_deg=fd,
+                                     preserve_float=True)
+            o = RC.occupancy_from_points(
+                back, ri.range.reshape(-1) > 0, vol_origin, self.vol_spec)
+            occ = o if occ is None else jnp.logical_or(occ, o)
         res = RC.raycast_tsdf(
             state, self.vol_spec, jnp.asarray(rays), jnp.asarray(origins),
-            t.H, t.W, fine_step=2.0, vol_origin=vol_origin)
+            t.H, t.W, occ=occ, fine_step=2.0, vol_origin=vol_origin)
         return VirtualScan(range=res.range, label=res.label,
                            remission=res.remission, points=res.endpoints,
                            mask=res.hit, adaption="mergemesh-rolling")
@@ -467,6 +482,8 @@ class TransferEngine:
                                     self.target.fov_down, origin, active)
             self._fused = False
             self._last_origin = origin
+            self._last_sources = ((ri, self.target.fov_up,
+                                   self.target.fov_down),)
             vs = VirtualScan(range=rng, label=lbl, remission=rem,
                              points=ends, mask=mask, adaption="mergemesh")
             return vs, ri
@@ -486,6 +503,8 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._last_origin = origin      # actual fused-volume placement
+        self._last_sources = ((ri, self.target.fov_up,
+                               self.target.fov_down),)
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mergemesh")
         return vs, ri
@@ -500,7 +519,6 @@ class TransferEngine:
         flat_valid = window.valid.reshape(-1)
         origin, active = self._frame_volume(flat_pts, flat_valid)
 
-        ri0 = None
         fused = []
         for s in range(window.nscans):
             ri = P.range_project(
@@ -509,8 +527,6 @@ class TransferEngine:
                 fov_up_deg=self.source.fov_up,
                 fov_down_deg=self.source.fov_down,
                 beam_angles=self.s_beam_angles)
-            if s == 0:
-                ri0 = ri
             fused.append((ri, self.source.fov_up, self.source.fov_down))
             state = self._integrate(state, ri, self.source.fov_up,
                                     self.source.fov_down, origin, active,
@@ -518,7 +534,7 @@ class TransferEngine:
         vs = self._synthesize(state, origin, active, fused,
                               flat_pts, flat_valid)
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
-                ri0, state, origin)
+                tuple(ri for ri, _, _ in fused), state, origin)
 
     def _mesh_stage_jits(self):
         """Cached per-stage jits for the staged mesh pipeline."""
@@ -564,14 +580,17 @@ class TransferEngine:
                                  self.source.H)
         if not self.fixed_bounds:
             out = self._mesh_core(window, self._take_state(), geom)
-            rng, lbl, rem, ends, mask, ri0, state, origin = out
+            rng, lbl, rem, ends, mask, ris, state, origin = out
             self._keep_state(state)
             self._fused = True
             self._pending_fusion = None
             self._last_origin = origin
+            self._last_sources = tuple(
+                (ri, self.source.fov_up, self.source.fov_down)
+                for ri in ris)
             vs = VirtualScan(range=rng, label=lbl, remission=rem,
                              points=ends, mask=mask, adaption="mesh")
-            return vs, ri0
+            return vs, ris[0]
 
         proj_jit, synth_jit = self._mesh_stage_jits()
         flat_pts, ris = proj_jit(window)
@@ -589,6 +608,8 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._last_origin = origin
+        self._last_sources = tuple(
+            (ri, self.source.fov_up, self.source.fov_down) for ri in ris)
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mesh")
         return vs, ris[0]
@@ -645,6 +666,8 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._last_origin = origin
+        self._last_sources = ((ri, self.target.fov_up,
+                               self.target.fov_down),)
 
         tsdf = np.asarray(state.tsdf, np.float32)
         label_vol = np.asarray(state.label, np.int32)

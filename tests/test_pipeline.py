@@ -194,7 +194,8 @@ def test_mesh_staged_matches_whole_frame(synthetic_dataset, small_spec):
                              small_spec.H)
     out = jax.jit(eng2._mesh_core, donate_argnums=(1,))(
         window, eng2._take_state(), geom)
-    rng_w, lbl_w, rem_w, ends_w, mask_w, ri0_w = out[:6]
+    rng_w, lbl_w, rem_w, ends_w, mask_w, ris_w = out[:6]
+    ri0_w = ris_w[0]
 
     np.testing.assert_array_equal(np.asarray(vs_staged.mask),
                                   np.asarray(mask_w))
