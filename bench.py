@@ -122,8 +122,10 @@ def main():
         f"({np.prod(eng.vol_dims)/1e6:.1f}M voxels)")
 
     def run_frame(w):
-        vs, _ = eng.transfer(w)
-        return vs
+        # the production throughput entry: no per-frame RangeImage
+        # assembly (its winner-attribute gathers dominated the frame
+        # under the remote compiler's scalar-gather lowering)
+        return eng.transfer_fast(w)
 
     # warmup (compile)
     t0 = time.perf_counter()

@@ -158,7 +158,10 @@ def main(argv=None) -> int:
             with timer.span("window", cfg.number_of_scans):
                 window = load_window(seq, cfg, idx, capacity)
             with timer.span("transfer", 1):
-                vs, ri = eng.transfer(window)
+                # throughput entry — no per-frame RangeImage (nothing in
+                # this loop reads it; fused_state() rebuilds it lazily
+                # for --ply / --rolling-shutter / attrs="volume")
+                vs = eng.transfer_fast(window)
                 if (args.rolling_shutter and idx + 1 < len(seq)
                         and cfg.adaption in ("mesh", "mergemesh")):
                     import numpy as _np

@@ -140,14 +140,15 @@ def project_uv(points: jax.Array, fov_up_deg: jax.Array,
     return u, v, depth
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("H", "W", "method", "beam_rows",
-                                    "winner"))
-def _range_project_impl(points, remissions, labels, valid,
-                        fov_up_deg, fov_down_deg, beam_angles, H, W,
-                        method="sort", beam_rows=False, winner="depth"):
-    n = points.shape[0]
+def _pixel_keys(points, valid, fov_up_deg, fov_down_deg, beam_angles,
+                H, W, beam_rows, winner):
+    """Per-point pixel assignment + z-buffer sort key (shared by the image
+    projection and the winner-flag projection).
 
+    Returns (pix, depth_key, depth, uf, vf, px, py, valid) — ``pix`` is
+    ``npix`` (= H*W, the overflow segment) for invalid points so they can
+    never win a pixel.
+    """
     if beam_rows:
         # TARGET-grid semantics for sensors with explicit beam angles:
         # image row i IS beam i (descending pitch), matching
@@ -200,6 +201,20 @@ def _range_project_impl(points, remissions, labels, valid,
     else:
         key = depth
     depth_key = jnp.where(valid, key, jnp.inf)
+    return pix, depth_key, depth, uf, vf, px, py, valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "method", "beam_rows",
+                                    "winner"))
+def _range_project_impl(points, remissions, labels, valid,
+                        fov_up_deg, fov_down_deg, beam_angles, H, W,
+                        method="sort", beam_rows=False, winner="depth"):
+    n = points.shape[0]
+    npix = H * W
+    pix, depth_key, depth, uf, vf, px, py, valid = _pixel_keys(
+        points, valid, fov_up_deg, fov_down_deg, beam_angles,
+        H, W, beam_rows, winner)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     if method == "sort":
@@ -294,6 +309,56 @@ def range_project(points: jax.Array, remissions: jax.Array,
     return _range_project_impl(points, remissions, labels, valid,
                                fov_up_deg, fov_down_deg, beam_angles,
                                H, W, method, beam_rows, winner)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "beam_rows", "winner"))
+def _winner_flags_impl(points, valid, fov_up_deg, fov_down_deg,
+                       beam_angles, H, W, beam_rows, winner):
+    n = points.shape[0]
+    npix = H * W
+    pix, depth_key, depth, _, _, _, _, valid = _pixel_keys(
+        points, valid, fov_up_deg, fov_down_deg, beam_angles,
+        H, W, beam_rows, winner)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    # si is a permutation of [0, n): one scatter maps the run-start flags
+    # back to original point order
+    is_winner = jnp.zeros((n,), bool).at[si].set(is_first)
+    return is_winner, depth
+
+
+def project_winners(points: jax.Array, valid: jax.Array, *,
+                    H: int, W: int, fov_up_deg, fov_down_deg,
+                    beam_angles=None, beam_rows: bool = False,
+                    winner: str = "depth"
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Per-point z-buffer winner flags — the gather-free projection.
+
+    Selects exactly ``range_project``'s winner set (same ``_pixel_keys`` +
+    stable sort) but returns a per-POINT boolean instead of pixel-indexed
+    images: ``is_winner[i]`` ⇔ point i is its pixel's nearest (first-come
+    on exact ties) point. Costs one sort plus ONE permutation scatter —
+    no winner-attribute gathers. Under the remote compiler's scalar-gather
+    regime the image projection's five ``attr[win_idx]`` gathers dominate
+    the whole mergemesh frame (~5 ms of 9 ms at 64x2048, see
+    docs/PERF.md); consumers that only need the winning POINTS (the splat
+    synthesis hot path) use this instead and keep attributes in original
+    point order.
+
+    Returns:
+      (is_winner (N,) bool, depth (N,) f32 per-point range)
+    """
+    if winner not in ("depth", "pdist"):
+        raise ValueError(f"unknown winner rule {winner!r}")
+    fov_up_deg = jnp.asarray(fov_up_deg, jnp.float32)
+    fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
+    if beam_angles is not None:
+        beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    return _winner_flags_impl(points, valid, fov_up_deg, fov_down_deg,
+                              beam_angles, H, W, beam_rows, winner)
 
 
 @functools.partial(jax.jit, static_argnames=("preserve_float",))

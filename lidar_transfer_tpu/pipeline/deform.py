@@ -310,8 +310,24 @@ class TransferEngine:
             return self._vol_state
         pend = getattr(self, "_pending_fusion", None)
         if pend is None:
-            raise RuntimeError("no fused volume yet — run a mesh/mergemesh "
-                               "transfer first")
+            w = getattr(self, "_pending_window", None)
+            if w is None:
+                raise RuntimeError("no fused volume yet — run a "
+                                   "mesh/mergemesh transfer first")
+            # transfer_fast stashed only the window (its frame program
+            # never builds the RangeImage); project it now, off the hot
+            # path, exactly as _mergemesh_core_deferred would have
+            pts, rem, lbl, valid = merge_window(w)
+            ri = P.range_project(
+                pts, rem, lbl, valid, H=self.source.H, W=self.source.W,
+                fov_up_deg=self.target.fov_up,
+                fov_down_deg=self.target.fov_down,
+                beam_angles=self.s_beam_angles)
+            origin, active = self._frame_volume(pts, valid)
+            pend = (ri, self.target.fov_up, self.target.fov_down,
+                    origin, active)
+            self._last_sources = ((ri, self.target.fov_up,
+                                   self.target.fov_down),)
         ri, fov_up, fov_down, origin, active = pend
         geom = self._ensure_geom(fov_up, fov_down, ri.range.shape[0])
         state = self._integrate(self._take_state(), ri, fov_up, fov_down,
@@ -480,6 +496,7 @@ class TransferEngine:
             rng, lbl, rem, ends, mask, ri, origin, active = out
             self._pending_fusion = (ri, self.target.fov_up,
                                     self.target.fov_down, origin, active)
+            self._pending_window = None
             self._fused = False
             self._last_origin = origin
             self._last_sources = ((ri, self.target.fov_up,
@@ -502,12 +519,80 @@ class TransferEngine:
         self._keep_state(state)
         self._fused = True
         self._pending_fusion = None
+        self._pending_window = None
         self._last_origin = origin      # actual fused-volume placement
         self._last_sources = ((ri, self.target.fov_up,
                                self.target.fov_down),)
         vs = VirtualScan(range=rng, label=lbl, remission=rem, points=ends,
                          mask=mask, adaption="mergemesh")
         return vs, ri
+
+    def _mergemesh_core_fast(self, window: ScanWindow):
+        """Gather-free whole-frame body: winner flags + per-point splat.
+
+        The deferred body still assembles the source RangeImage, whose
+        five winner-attribute gathers (``attr[win_idx]`` at H*W indices)
+        dominate the frame under the remote compiler's scalar-gather
+        lowering (~5 ms of a 9 ms frame at 64x2048 — docs/PERF.md). This
+        body skips image assembly entirely: ``project_winners`` marks the
+        winning POINTS (one sort + one permutation scatter) and the splat
+        consumes the ORIGINAL point arrays as its candidate source — the
+        image path's ``reverse_project(preserve_float=True)`` reconstructs
+        exactly these points from the winner images, so the candidate set
+        is the same up to float round-trip ulps. Tie-break detail: target
+        ties at exactly equal candidate depth resolve by original POINT
+        order here vs source-pixel order on the image path (both
+        deterministic; real LiDAR never ties exactly).
+        """
+        pts, rem, lbl, valid = merge_window(window)
+        is_winner, depth = P.project_winners(
+            pts, valid, H=self.source.H, W=self.source.W,
+            fov_up_deg=self.target.fov_up,
+            fov_down_deg=self.target.fov_down,
+            beam_angles=self.s_beam_angles)
+        origin, active = self._frame_volume(pts, valid)
+        from lidar_transfer_tpu.ops.splat import splat_synthesize
+
+        rng, lbl_o, rem_o, ends, mask = splat_synthesize(
+            None, self.vol_spec, [(depth, pts, is_winner, lbl, rem)],
+            target_H=self.target.H, target_W=self.target.W,
+            fov_up_deg=self.target.fov_up,
+            fov_down_deg=self.target.fov_down,
+            vol_origin=origin, active_dims=active,
+            beam_angles=self.t_beam_angles, attrs="image")
+        return rng, lbl_o, rem_o, ends, mask, origin
+
+    def transfer_fast(self, window: ScanWindow) -> VirtualScan:
+        """Throughput-path transfer: VirtualScan only, no RangeImage.
+
+        The production streaming entry (bench.py, CLI): identical
+        synthesis semantics to ``transfer()`` up to float round-trip ulps
+        (see ``_mergemesh_core_fast``), but the per-frame program contains
+        no winner-attribute gathers. ``fused_state()`` still works — the
+        window is stashed and the RangeImage + integrate run lazily on
+        first demand (PLY export, rolling shutter, attrs="volume").
+
+        Falls back to ``transfer()`` where the fast body doesn't apply
+        (non-mergemesh adaption or raymarch synthesis).
+        """
+        if not (self.cfg.adaption == "mergemesh"
+                and self.synthesis == "splat"):
+            return self.transfer(window)[0]
+        if self.fixed_bounds:
+            fn = getattr(self, "_mm_jit_fast", None)
+            if fn is None:
+                fn = jax.jit(self._mergemesh_core_fast)
+                self._mm_jit_fast = fn
+            out = fn(window)
+        else:
+            out = self._mergemesh_core_fast(window)
+        rng, lbl, rem, ends, mask, origin = out
+        self._pending_fusion = None
+        self._pending_window = window
+        self._fused = False
+        self._last_origin = origin
+        return VirtualScan(range=rng, label=lbl, remission=rem,
+                           points=ends, mask=mask, adaption="mergemesh")
 
     # ---------------------------------------------------------------- mesh
     def _mesh_core(self, window: ScanWindow, state: TS.TSDFState,
@@ -584,6 +669,7 @@ class TransferEngine:
             self._keep_state(state)
             self._fused = True
             self._pending_fusion = None
+            self._pending_window = None
             self._last_origin = origin
             self._last_sources = tuple(
                 (ri, self.source.fov_up, self.source.fov_down)
@@ -607,6 +693,7 @@ class TransferEngine:
         self._keep_state(state)
         self._fused = True
         self._pending_fusion = None
+        self._pending_window = None
         self._last_origin = origin
         self._last_sources = tuple(
             (ri, self.source.fov_up, self.source.fov_down) for ri in ris)
@@ -665,6 +752,7 @@ class TransferEngine:
         self._keep_state(state)
         self._fused = True
         self._pending_fusion = None
+        self._pending_window = None
         self._last_origin = origin
         self._last_sources = ((ri, self.target.fov_up,
                                self.target.fov_down),)

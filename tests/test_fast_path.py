@@ -1,0 +1,122 @@
+"""transfer_fast: the gather-free throughput path vs the classic engine.
+
+The fast body (pipeline/deform.py `_mergemesh_core_fast`) selects winners
+per POINT (ops/projection.project_winners) and splats the original point
+arrays, instead of assembling the source RangeImage and back-projecting
+it. The candidate sets are identical up to float round-trip ulps (the
+image path reconstructs exactly these points via
+``reverse_project(preserve_float=True)``), so outputs must agree except
+at pixel-boundary / exact-tie cases.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_transfer_tpu.config import TransferConfig
+from lidar_transfer_tpu.datasets.kitti import KittiSequence
+from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+CAP = 8192
+
+
+def make_cfg(**kw):
+    base = dict(adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+                voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    base.update(kw)
+    return TransferConfig(**base)
+
+
+def _engines(synthetic_dataset, small_spec, cfg):
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng_c = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           fixed_bounds=True)
+    eng_f = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           fixed_bounds=True)
+    return seq, window, eng_c, eng_f
+
+
+def test_fast_matches_classic(synthetic_dataset, small_spec):
+    cfg = make_cfg()
+    _, window, eng_c, eng_f = _engines(synthetic_dataset, small_spec, cfg)
+    vs_c, _ = eng_c.transfer(window)
+    vs_f = eng_f.transfer_fast(window)
+
+    mc = np.asarray(vs_c.mask)
+    mf = np.asarray(vs_f.mask)
+    # boundary/tie pixels may flip either way; the bulk must agree
+    assert (mc == mf).mean() > 0.98
+    both = mc & mf
+    # where both paths hit, the winning candidate is the SAME point, so
+    # range/label/remission agree exactly (identical arithmetic on
+    # identical inputs from the candidate onward)
+    np.testing.assert_array_equal(np.asarray(vs_c.label)[both],
+                                  np.asarray(vs_f.label)[both])
+    np.testing.assert_allclose(np.asarray(vs_c.range)[both],
+                               np.asarray(vs_f.range)[both], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vs_c.remission)[both],
+                               np.asarray(vs_f.remission)[both], atol=1e-5)
+
+
+def test_fast_fused_state_and_rolling(synthetic_dataset, small_spec):
+    """fused_state() after transfer_fast rebuilds the RangeImage lazily;
+    the volume matches the classic engine's up to jit-fusion rounding
+    (different program boundaries re-round pixel coords — same FMA
+    effect the cp() docstring documents)."""
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    seq, window, eng_c, eng_f = _engines(synthetic_dataset, small_spec,
+                                         cfg)
+    eng_c.transfer(window)
+    eng_f.transfer_fast(window)
+    st_c = eng_c.fused_state()
+    st_f = eng_f.fused_state()
+    t_c = np.asarray(st_c.tsdf, np.float32)
+    t_f = np.asarray(st_f.tsdf, np.float32)
+    assert (t_c == t_f).mean() > 0.995
+
+    # rolling shutter drives the lazy path end-to-end
+    pose_next = np.linalg.inv(seq.poses[2]) @ seq.poses[3]
+    rs = eng_f.resynthesize_rolling_shutter(pose_next)
+    assert float(np.asarray(rs.mask).mean()) > 0.3
+
+
+def test_fast_falls_back_for_other_adaptions(synthetic_dataset,
+                                             small_spec):
+    cfg = make_cfg(adaption="mesh", number_of_scans=2)
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         fixed_bounds=True)
+    vs = eng.transfer_fast(window)
+    assert vs.adaption == "mesh"
+    assert bool(np.asarray(vs.mask).any())
+
+
+def test_project_winners_matches_range_project(synthetic_dataset,
+                                               small_spec):
+    """The winner SET of project_winners must equal range_project's
+    winner-index image exactly (same keys, same stable sort)."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.pipeline.multiscan import merge_window
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    pts, rem, lbl, valid = merge_window(window)
+    H, W = small_spec.H, small_spec.W
+    ri = P.range_project(pts, rem, lbl, valid, H=H, W=W,
+                         fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    is_winner, depth = P.project_winners(
+        pts, valid, H=H, W=W, fov_up_deg=small_spec.fov_up,
+        fov_down_deg=small_spec.fov_down)
+    win_from_image = np.zeros(pts.shape[0], bool)
+    idx = np.asarray(ri.index).reshape(-1)
+    win_from_image[idx[idx >= 0]] = True
+    np.testing.assert_array_equal(np.asarray(is_winner), win_from_image)
+    np.testing.assert_allclose(np.asarray(depth),
+                               np.asarray(ri.point_depth), rtol=0, atol=0)
