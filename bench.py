@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--nscans", type=int, default=1)
+    ap.add_argument("--stream", type=int, default=16,
+                    help="Frames per device program (lax.scan mini-batch) "
+                         "for the headline throughput; 0 = per-frame "
+                         "dispatch only.")
     ap.add_argument("--identity", action="store_true",
                     help="identity 64x2048 target instead of 32 beams "
                          "(BASELINE.md protocol's second operating point)")
@@ -144,10 +148,10 @@ def main():
     lat_ms = (time.perf_counter() - t0) / args.frames * 1e3
     log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
 
-    # THROUGHPUT (the headline): stream frames asynchronously — issue all,
-    # sync once. JAX dispatch is async, so the tunnel round-trip overlaps
-    # with device execution exactly as a production pipeline over a scan
-    # stream would; device work is serialized either way.
+    # THROUGHPUT: stream frames asynchronously — issue all, sync once.
+    # JAX dispatch is async, so the tunnel round-trip overlaps with device
+    # execution exactly as a production pipeline over a scan stream would;
+    # device work is serialized either way.
     t0 = time.perf_counter()
     outs = [run_frame(window) for _ in range(args.frames)]
     jax.block_until_ready(outs[-1].range)
@@ -158,6 +162,33 @@ def main():
     log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
         f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
         f"hit rate {np.asarray(vs.mask).mean():.3f}")
+
+    # STREAMED throughput (the headline with --stream F): F frames per
+    # device program via TransferEngine.transfer_stream — after the
+    # gather-free rewrite the per-program launch overhead (~1.8 ms
+    # through the remote runtime) dominates the 2.6 ms device frame;
+    # mini-batching amortizes it.
+    stream_note = ""
+    if args.stream > 0:
+        F = args.stream
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (F,) + x.shape), window)
+        sv = eng.transfer_stream(stacked)          # compile
+        jax.block_until_ready(sv.range)
+        # ≥3 pipelined batches so one batch's launch/sync can't dominate
+        n_batches = max(3, args.frames // F)
+        t0 = time.perf_counter()
+        souts = [eng.transfer_stream(stacked) for _ in range(n_batches)]
+        jax.block_until_ready(souts[-1].range)
+        s_dt = time.perf_counter() - t0
+        s_sps = n_batches * F / s_dt
+        if s_sps > scans_per_sec:
+            scans_per_sec = s_sps
+            stream_note = f", stream {F}"
+        log(f"{n_batches}x{F} streamed frames in {s_dt:.2f}s -> "
+            f"{s_sps:.2f} scans/s, "
+            f"{s_sps*rays/1e6:.1f} Mrays/s synthesized, "
+            f"hit rate {np.asarray(sv.mask[-1]).mean():.3f}")
 
     # per-cause miss accounting (untimed; VERDICT r1 weak #5): every
     # no-data pixel attributed to out-of-source-FOV / empty direction /
@@ -201,7 +232,7 @@ def main():
                   f"{target.H}x{target.W}, "
                   f"{args.adaption}, "
                   f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
-                  f"nscans {args.nscans})",
+                  f"nscans {args.nscans}{stream_note})",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec",
         "vs_baseline": round(scans_per_sec / 50.0, 3),

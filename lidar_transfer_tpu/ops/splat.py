@@ -39,6 +39,80 @@ import jax.numpy as jnp
 from lidar_transfer_tpu.ops import projection as P
 from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
 
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "beam_rows", "trunc"))
+def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
+                     fov_up_deg, fov_down_deg, beam_angles,
+                     H, W, beam_rows, trunc):
+    """Candidate z-buffer + winner-attribute fetch + zero-crossing output.
+
+    Winner selection is exactly ``range_project``'s (same ``_pixel_keys``
+    + stable (pixel, depth) sort), but the per-pixel attribute fetch is
+    ONE row gather of a stacked (N, 8) attribute matrix instead of five
+    separate 1-D gathers: the remote compiler lowers 1-D gathers through
+    a ~8.5 ns/index scalar path while 2-D ROW gathers vectorize
+    (~20x faster at 65k rows — docs/PERF.md). All arithmetic on the
+    fetched values is identical to the previous range_project-based tail,
+    so outputs are bit-equal.
+    """
+    n = pos.shape[0]
+    npix = H * W
+    pix, key, depth, uf, _, _, _, valid = P._pixel_keys(
+        pos, valid, fov_up_deg, fov_down_deg, beam_angles,
+        H, W, beam_rows, "depth")
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sp, _, si = jax.lax.sort((pix, key, idx), num_keys=2)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    tgt = jnp.where(is_first, sp, npix)
+    win_idx = jnp.full((npix + 1,), _INT32_MAX, jnp.int32).at[tgt].set(
+        jnp.where(is_first, si, _INT32_MAX), mode="drop")[:npix]
+    has = (win_idx != _INT32_MAX).reshape(H, W)
+    gidx = jnp.where(win_idx != _INT32_MAX, win_idx, 0)
+
+    stacked = jnp.concatenate(
+        [pos, depth[:, None], uf[:, None], tsdf_v[:, None],
+         rem_v[:, None],
+         jax.lax.bitcast_convert_type(label_v, jnp.float32)[:, None]],
+        axis=1)                                            # (N, 8)
+    wa = stacked[gidx]                                     # ONE row gather
+    pos_w = wa[:, 0:3].reshape(H, W, 3)
+    depth_w = wa[:, 3].reshape(H, W)
+    uf_w = wa[:, 4].reshape(H, W)
+    tsdf_w = wa[:, 5].reshape(H, W)
+    rem_w = wa[:, 6].reshape(H, W)
+    lbl_w = jax.lax.bitcast_convert_type(wa[:, 7], jnp.int32
+                                         ).reshape(H, W)
+
+    # zero-crossing correction along the (co-centered) target ray:
+    # t_surface = t_sample + tsdf * trunc  (tsdf <= 0 pulls toward sensor)
+    rng = jnp.where(has,
+                    jnp.maximum(depth_w + tsdf_w * jnp.float32(trunc),
+                                0.0), 0.0)
+    if beam_angles is not None:
+        # rows are exact hardware beams (generate_rays convention):
+        # endpoints lie ON the beam directions, not on the winning
+        # sample's (within-capture-zone) source ray
+        ba_desc = -jnp.sort(-jnp.asarray(beam_angles, jnp.float32))
+        pitch = ba_desc[:, None]                           # (H, 1)
+        yaw = (uf_w / W * 2.0 - 1.0) * jnp.pi
+        cp, sp_ = jnp.cos(pitch), jnp.sin(pitch)
+        dirs = jnp.stack([cp * jnp.cos(-yaw), cp * jnp.sin(-yaw),
+                          jnp.broadcast_to(sp_, yaw.shape)], axis=-1)
+        endpoints = dirs * rng[..., None]
+    else:
+        # has-mask: missing pixels carry dummy row-0 attributes (gidx=0)
+        # and must produce zero endpoints like the old range_project tail
+        scale = jnp.where(has & (depth_w > 0),
+                          rng / jnp.maximum(depth_w, 1e-6), 0.0)
+        endpoints = pos_w * scale[..., None]
+    return (rng, jnp.where(has, lbl_w, 0),
+            jnp.where(has, jnp.maximum(rem_w, 0.0), 0.0),
+            endpoints, has)
+
 
 @functools.partial(
     jax.jit,
@@ -203,37 +277,14 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
     rem_v = jnp.concatenate([a[4] for a in parts])
     valid = jnp.concatenate([a[5] for a in parts])
 
-    ri = P.range_project(pos, rem_v, label_v, valid,
-                         H=target_H, W=target_W,
-                         fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
-                         beam_angles=beam_angles,
-                         # row i = beam i, matching generate_rays
-                         beam_rows=beam_angles is not None)
-
-    # zero-crossing correction along the (co-centered) target ray:
-    # t_surface = t_sample + tsdf * trunc  (tsdf <= 0 pulls toward sensor)
-    win = jnp.maximum(ri.index, 0).reshape(-1)
-    tsdf_win = tsdf_v[win].reshape(target_H, target_W)
-    rng = jnp.where(ri.mask,
-                    jnp.maximum(ri.range + tsdf_win * spec.trunc_margin,
-                                0.0),
-                    0.0)
     if beam_angles is not None:
-        # rows are exact hardware beams (generate_rays convention):
-        # endpoints lie ON the beam directions, not on the winning
-        # sample's (within-capture-zone) source ray
-        ba_desc = -jnp.sort(-jnp.asarray(beam_angles, jnp.float32))
-        pitch = ba_desc[:, None]                          # (H, 1)
-        yaw = (ri.u_float / target_W * 2.0 - 1.0) * jnp.pi
-        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-        dirs = jnp.stack([cp * jnp.cos(-yaw), cp * jnp.sin(-yaw),
-                          jnp.broadcast_to(sp, yaw.shape)], axis=-1)
-        endpoints = dirs * rng[..., None]
-    else:
-        scale = jnp.where(ri.range > 0,
-                          rng / jnp.maximum(ri.range, 1e-6), 0.0)
-        endpoints = (pos[win].reshape(target_H, target_W, 3)
-                     * scale[..., None])
-    return (rng, jnp.where(ri.mask, ri.label, 0),
-            jnp.where(ri.mask, jnp.maximum(ri.remission, 0.0), 0.0),
-            endpoints, ri.mask)
+        beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    return _target_assemble(
+        pos, tsdf_v, label_v.astype(jnp.int32),
+        rem_v.astype(jnp.float32), valid,
+        jnp.asarray(fov_up_deg, jnp.float32),
+        jnp.asarray(fov_down_deg, jnp.float32), beam_angles,
+        H=target_H, W=target_W,
+        # row i = beam i, matching generate_rays
+        beam_rows=beam_angles is not None,
+        trunc=float(spec.trunc_margin))

@@ -594,6 +594,53 @@ class TransferEngine:
         return VirtualScan(range=rng, label=lbl, remission=rem,
                            points=ends, mask=mask, adaption="mergemesh")
 
+    def transfer_stream(self, windows: ScanWindow) -> VirtualScan:
+        """Mini-batched throughput entry: F frames, ONE device program.
+
+        ``windows`` carries a leading FRAME axis on every array field
+        (stack F independent ``ScanWindow``s); the gather-free fast body
+        runs under ``lax.scan`` so the whole batch is a single launch.
+        After the gather-free rewrite the single-frame path is dominated
+        by per-program launch overhead (~1.8 ms through the remote
+        runtime vs a 2.6 ms device frame); batching amortizes it
+        (measured 227 -> 366 scans/s at F=16, bench.py --stream).
+
+        Returns a VirtualScan whose fields have the leading frame axis.
+        ``fused_state()`` afterwards refers to the LAST frame. Falls back
+        to a python loop over ``transfer_fast`` when the scan body does
+        not apply (non-mergemesh adaption, raymarch synthesis, or
+        per-frame clipped bounds).
+        """
+        if not (self.cfg.adaption == "mergemesh"
+                and self.synthesis == "splat" and self.fixed_bounds):
+            outs = [self.transfer_fast(
+                jax.tree.map(lambda x, i=i: x[i], windows))
+                for i in range(windows.points.shape[0])]
+            return VirtualScan(
+                range=jnp.stack([o.range for o in outs]),
+                label=jnp.stack([o.label for o in outs]),
+                remission=jnp.stack([o.remission for o in outs]),
+                points=jnp.stack([o.points for o in outs]),
+                mask=jnp.stack([o.mask for o in outs]),
+                adaption="mergemesh")
+        fn = getattr(self, "_mm_jit_stream", None)
+        if fn is None:
+            def stream(ws):
+                def step(carry, w):
+                    out = self._mergemesh_core_fast(w)
+                    return carry, out[:5]
+                _, outs = jax.lax.scan(step, 0, ws)
+                return outs
+            fn = jax.jit(stream)
+            self._mm_jit_stream = fn
+        rng, lbl, rem, ends, mask = fn(windows)
+        self._pending_fusion = None
+        self._pending_window = jax.tree.map(lambda x: x[-1], windows)
+        self._fused = False
+        self._last_origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
+        return VirtualScan(range=rng, label=lbl, remission=rem,
+                           points=ends, mask=mask, adaption="mergemesh")
+
     # ---------------------------------------------------------------- mesh
     def _mesh_core(self, window: ScanWindow, state: TS.TSDFState,
                    geom=None):

@@ -108,6 +108,26 @@ def load_window(seq: KittiSequence, cfg: TransferConfig, idx: int,
     return apply_class_masks(window, cfg.ignore_classes, cfg.moving_classes)
 
 
+def stack_windows(wins: list[ScanWindow]) -> ScanWindow:
+    """Stack F windows on a leading frame axis for
+    ``TransferEngine.transfer_stream``.
+
+    ``primary_index`` is pytree METADATA (the primary scan's sequence
+    index) and differs per frame, so a naive ``jax.tree.map(stack)``
+    rejects the mismatch; the stacked window keeps the LAST frame's value
+    — the streamed engine's lazy consumers (``fused_state``, rolling
+    shutter) refer to the last frame.
+    """
+    return ScanWindow(
+        points=jnp.stack([w.points for w in wins]),
+        remissions=jnp.stack([w.remissions for w in wins]),
+        labels=jnp.stack([w.labels for w in wins]),
+        valid=jnp.stack([w.valid for w in wins]),
+        rel_pose=jnp.stack([w.rel_pose for w in wins]),
+        primary_index=wins[-1].primary_index,
+    )
+
+
 def apply_class_masks(window: ScanWindow, ignore_classes: tuple[int, ...],
                       moving_classes: tuple[int, ...]) -> ScanWindow:
     """Mask ignore classes everywhere; moving classes on non-primary scans."""

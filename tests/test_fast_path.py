@@ -94,6 +94,42 @@ def test_fast_falls_back_for_other_adaptions(synthetic_dataset,
     assert bool(np.asarray(vs.mask).any())
 
 
+def test_stream_matches_fast(synthetic_dataset, small_spec):
+    """transfer_stream (one lax.scan program over F frames) must produce
+    the same VirtualScans as per-frame transfer_fast calls."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    wins = [load_window(seq, cfg, i, CAP) for i in (1, 2, 3)]
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         fixed_bounds=True)
+    singles = [eng.transfer_fast(w) for w in wins]
+
+    from lidar_transfer_tpu.pipeline.multiscan import stack_windows
+    stacked = stack_windows(wins)
+    eng2 = TransferEngine(small_spec, small_spec, cfg, CAP,
+                          fixed_bounds=True)
+    sv = eng2.transfer_stream(stacked)
+    assert sv.range.shape[0] == 3
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(np.asarray(sv.mask[i]),
+                                      np.asarray(s.mask))
+        np.testing.assert_allclose(np.asarray(sv.range[i]),
+                                   np.asarray(s.range), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(sv.label[i]),
+                                      np.asarray(s.label))
+    # fused_state afterwards refers to the last frame
+    st_stream = eng2.fused_state()
+    eng3 = TransferEngine(small_spec, small_spec, cfg, CAP,
+                          fixed_bounds=True)
+    eng3.transfer_fast(wins[-1])
+    st_single = eng3.fused_state()
+    np.testing.assert_array_equal(np.asarray(st_stream.tsdf),
+                                  np.asarray(st_single.tsdf))
+
+
 def test_project_winners_matches_range_project(synthetic_dataset,
                                                small_spec):
     """The winner SET of project_winners must equal range_project's
