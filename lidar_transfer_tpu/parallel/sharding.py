@@ -216,16 +216,6 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
               windows.valid, windows.rel_pose)
 
 
-def stack_windows(windows):
-    """Stack single-frame ScanWindows into one batched ScanWindow
-    (leading frame axis) for ``frame_parallel_transfer``."""
-    from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
-
-    return ScanWindow(
-        points=jnp.stack([w.points for w in windows]),
-        remissions=jnp.stack([w.remissions for w in windows]),
-        labels=jnp.stack([w.labels for w in windows]),
-        valid=jnp.stack([w.valid for w in windows]),
-        rel_pose=jnp.stack([w.rel_pose for w in windows]),
-        primary_index=windows[0].primary_index,
-    )
+# batched-window construction lives with the ScanWindow definition;
+# re-exported here for frame_parallel_transfer callers
+from lidar_transfer_tpu.pipeline.multiscan import stack_windows  # noqa: E402,F401,E501
