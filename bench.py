@@ -190,6 +190,17 @@ def main():
             f"{s_sps*rays/1e6:.1f} Mrays/s synthesized, "
             f"hit rate {np.asarray(sv.mask[-1]).mean():.3f}")
 
+    # semantic sanity: every hit pixel must carry a label (the band
+    # candidates require label>0) — catches TPU-only data corruption the
+    # CPU tests can't (e.g. subnormal-flush of bitcast label bits)
+    hitm = np.asarray(vs.mask)
+    if hitm.any():
+        lbl_fill = float((np.asarray(vs.label)[hitm] > 0).mean())
+        log(f"label fill over hit pixels: {lbl_fill:.4f}")
+        assert lbl_fill > 0.999, (
+            f"labels lost on device (fill {lbl_fill}) — see splat.py "
+            "subnormal note")
+
     # per-cause miss accounting (untimed; VERDICT r1 weak #5): every
     # no-data pixel attributed to out-of-source-FOV / empty direction /
     # outside volume bounds / genuine synthesis miss

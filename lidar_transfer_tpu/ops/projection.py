@@ -330,6 +330,49 @@ def _winner_flags_impl(points, valid, fov_up_deg, fov_down_deg,
     return is_winner, depth
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "beam_rows", "winner"))
+def _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
+                       beam_angles, H, W, beam_rows, winner):
+    n = points.shape[0]
+    npix = H * W
+    pix, depth_key, depth, _, _, _, _, valid = _pixel_keys(
+        points, valid, fov_up_deg, fov_down_deg, beam_angles,
+        H, W, beam_rows, winner)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    return si, is_first, depth
+
+
+def project_winner_order(points: jax.Array, valid: jax.Array, *,
+                         H: int, W: int, fov_up_deg, fov_down_deg,
+                         beam_angles=None, beam_rows: bool = False,
+                         winner: str = "depth"
+                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Winner flags in SORTED (pixel, depth) order — no scatter at all.
+
+    Same winner set as ``project_winners`` but returned as
+    ``(si, is_first, depth)``: ``si[j]`` is the original index of the
+    j-th point in the z-buffer sort order and ``is_first[j]`` marks the
+    run starts (= the winners). A consumer fetches per-point attributes
+    in sorted order with ONE row gather of a stacked matrix
+    (``attrs[si]`` — the vectorized 2-D gather path) instead of
+    scattering flags back to point order; candidate order then matches
+    the classic image path's source-pixel order, including exact-tie
+    resolution. ``depth`` is per-point (original order).
+    """
+    if winner not in ("depth", "pdist"):
+        raise ValueError(f"unknown winner rule {winner!r}")
+    fov_up_deg = jnp.asarray(fov_up_deg, jnp.float32)
+    fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
+    if beam_angles is not None:
+        beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    return _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
+                              beam_angles, H, W, beam_rows, winner)
+
+
 def project_winners(points: jax.Array, valid: jax.Array, *,
                     H: int, W: int, fov_up_deg, fov_down_deg,
                     beam_angles=None, beam_rows: bool = False,

@@ -73,10 +73,13 @@ def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
     has = (win_idx != _INT32_MAX).reshape(H, W)
     gidx = jnp.where(win_idx != _INT32_MAX, win_idx, 0)
 
+    # labels ride as float VALUES (exact for ids < 2^24; semantic labels
+    # are < 2^16) — NOT a bitcast: small ints reinterpreted as f32 are
+    # subnormals and the TPU float path flushes them to zero
     stacked = jnp.concatenate(
         [pos, depth[:, None], uf[:, None], tsdf_v[:, None],
          rem_v[:, None],
-         jax.lax.bitcast_convert_type(label_v, jnp.float32)[:, None]],
+         label_v.astype(jnp.float32)[:, None]],
         axis=1)                                            # (N, 8)
     wa = stacked[gidx]                                     # ONE row gather
     pos_w = wa[:, 0:3].reshape(H, W, 3)
@@ -84,8 +87,7 @@ def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
     uf_w = wa[:, 4].reshape(H, W)
     tsdf_w = wa[:, 5].reshape(H, W)
     rem_w = wa[:, 6].reshape(H, W)
-    lbl_w = jax.lax.bitcast_convert_type(wa[:, 7], jnp.int32
-                                         ).reshape(H, W)
+    lbl_w = jnp.rint(wa[:, 7]).astype(jnp.int32).reshape(H, W)
 
     # zero-crossing correction along the (co-centered) target ray:
     # t_surface = t_sample + tsdf * trunc  (tsdf <= 0 pulls toward sensor)

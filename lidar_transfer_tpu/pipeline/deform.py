@@ -545,16 +545,30 @@ class TransferEngine:
         deterministic; real LiDAR never ties exactly).
         """
         pts, rem, lbl, valid = merge_window(window)
-        is_winner, depth = P.project_winners(
+        si, is_first, depth = P.project_winner_order(
             pts, valid, H=self.source.H, W=self.source.W,
             fov_up_deg=self.target.fov_up,
             fov_down_deg=self.target.fov_down,
             beam_angles=self.s_beam_angles)
+        # ONE row gather puts all candidate attributes in z-buffer order
+        # (vectorized 2-D gather path) — no scatter back to point order
+        # labels as float VALUES (exact below 2^24), never a bitcast —
+        # small ints reinterpreted as f32 are subnormals and the TPU
+        # float path flushes them to zero (ops/splat._target_assemble)
+        stacked = jnp.concatenate(
+            [pts, depth[:, None], rem[:, None],
+             lbl.astype(jnp.float32)[:, None]], axis=1)
+        rows = stacked[si]
+        c_pts = rows[:, 0:3]
+        c_depth = rows[:, 3]
+        c_rem = rows[:, 4]
+        c_lbl = jnp.rint(rows[:, 5]).astype(jnp.int32)
         origin, active = self._frame_volume(pts, valid)
         from lidar_transfer_tpu.ops.splat import splat_synthesize
 
         rng, lbl_o, rem_o, ends, mask = splat_synthesize(
-            None, self.vol_spec, [(depth, pts, is_winner, lbl, rem)],
+            None, self.vol_spec, [(c_depth, c_pts, is_first, c_lbl,
+                                   c_rem)],
             target_H=self.target.H, target_W=self.target.W,
             fov_up_deg=self.target.fov_up,
             fov_down_deg=self.target.fov_down,
