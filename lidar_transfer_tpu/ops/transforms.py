@@ -78,12 +78,17 @@ def rotation_to_quaternion(R: np.ndarray) -> np.ndarray:
 
 
 def quaternion_to_rotation(q: np.ndarray) -> np.ndarray:
-    w, x, y, z = np.asarray(q, np.float64) / np.linalg.norm(q)
-    return np.array([
+    """(…, 4) quaternions -> (…, 3, 3) rotations (batched)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    rows = [
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
+    ]
+    out = np.stack([np.stack(r, axis=-1) for r in rows], axis=-2)
+    return out
 
 
 def quaternion_slerp(q0: np.ndarray, q1: np.ndarray,
@@ -113,8 +118,7 @@ def interpolate_pose(pose0: np.ndarray, pose1: np.ndarray,
     q = quaternion_slerp(rotation_to_quaternion(pose0[:3, :3]),
                          rotation_to_quaternion(pose1[:3, :3]), t)
     out = np.tile(np.eye(4), (t.shape[0], 1, 1))
-    for k in range(t.shape[0]):
-        out[k, :3, :3] = quaternion_to_rotation(q[k])
+    out[:, :3, :3] = quaternion_to_rotation(q)      # batched
     out[:, :3, 3] = ((1.0 - t)[:, None] * pose0[:3, 3][None]
                      + t[:, None] * pose1[:3, 3][None])
     return out

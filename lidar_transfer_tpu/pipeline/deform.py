@@ -337,19 +337,109 @@ class TransferEngine:
         self._fused = True
         return state
 
+    def _rolling_splat_core(self, pts, rem, lbl, valid, R_table, tau_table):
+        """Jittable splat-path rolling-shutter body.
+
+        Same physical model as the raymarcher path (pixel (h,w) looks
+        along R_w·d from origin τ_w, generate_rays_moving): a surface
+        point p lands at the column w whose sensor-frame direction
+        R_w^T (p − τ_w) maps back to w — a fixed point in w solved by two
+        iterations (ego motion over one frame moves u by ≪ 1 column per
+        iteration). The single-fused-image splat knows every surface
+        point EXACTLY (the winner points), so no band/zero-crossing is
+        needed: candidates carry tsdf_v = 0 and their sensor-frame range
+        is exact. ~2 ms/frame vs the raymarcher's ~1.5 s at reference
+        scale (its lockstep while_loop pays hundreds of sequential
+        volume gathers).
+        """
+        t = self.target
+        si, is_first, depth = P.project_winner_order(
+            pts, valid, H=self.source.H, W=self.source.W,
+            fov_up_deg=t.fov_up, fov_down_deg=t.fov_down,
+            beam_angles=self.s_beam_angles)
+        stacked = jnp.concatenate(
+            [pts, rem[:, None], lbl.astype(jnp.float32)[:, None]], axis=1)
+        rows = stacked[si]
+        p = rows[:, 0:3]
+        c_rem = rows[:, 3]
+        c_lbl = jnp.rint(rows[:, 4]).astype(jnp.int32)
+        valid_c = is_first & (c_lbl > 0)
+        # the volume cast only ever hits content inside the configured
+        # box — match that (config bounds; the per-frame clipped box of
+        # non-fixed engines is a subset, documented deviation)
+        lo = jnp.asarray(self.vol_spec.origin, jnp.float32)
+        hi = lo + (jnp.asarray(self.vol_spec.dims, jnp.float32)
+                   * jnp.float32(self.vol_spec.voxel_size))
+        valid_c = valid_c & jnp.all((p >= lo) & (p < hi), axis=1)
+
+        W = t.W
+        Rt = R_table.reshape(W, 9)
+        def column_of(pos):
+            yaw = -jnp.arctan2(pos[:, 1], pos[:, 0])
+            u = 0.5 * (yaw / jnp.pi + 1.0) * W
+            return jnp.clip(jnp.floor(u), 0, W - 1).astype(jnp.int32)
+
+        w = column_of(p)                       # static first guess
+        pos_s = p
+        for _ in range(2):                     # fixed point on firing time
+            Rw = Rt[w].reshape(-1, 3, 3)       # row gather, (N,3,3)
+            tw = tau_table[w]
+            q = p - tw
+            # sensor-frame position: R_w^T q
+            pos_s = jnp.einsum("nji,nj->ni", Rw, q)
+            w = column_of(pos_s)
+
+        from lidar_transfer_tpu.ops.splat import _target_assemble
+
+        rng, lbl_o, rem_o, ends_s, mask = _target_assemble(
+            pos_s, jnp.zeros_like(c_rem), c_lbl, c_rem, valid_c,
+            jnp.asarray(t.fov_up, jnp.float32),
+            jnp.asarray(t.fov_down, jnp.float32),
+            self.t_beam_angles, H=t.H, W=t.W,
+            beam_rows=self.t_beam_angles is not None,
+            trunc=float(self.vol_spec.trunc_margin))
+        # endpoints back to the primary frame: with tsdf_v = 0 the
+        # assembled endpoint is exactly the winner's sensor-frame
+        # position; pixel (h,w) re-enters the frame via (R_w, τ_w)
+        ends = jnp.einsum("wij,hwj->hwi", R_table, ends_s)
+        ends = jnp.where(mask[..., None], ends + tau_table[None], 0.0)
+        return rng, lbl_o, rem_o, ends, mask
+
     def resynthesize_rolling_shutter(self, pose_next: np.ndarray
                                      ) -> VirtualScan:
-        """Re-cast the LAST transferred frame's volume with rolling-shutter
-        rays.
+        """Re-cast the LAST transferred frame with rolling-shutter rays.
 
         ``pose_next`` is the relative pose over one frame period
         (inv(pose[i]) @ pose[i+1]); each target column's rays originate at
         the interpolated sensor pose at its firing time
         (ops/raycast.generate_rays_moving — the working version of the
         reference's disabled create_rays_moving, laserscan.py:1035-1090).
-        Uses the raymarcher (per-ray origins); the splat engine assumes a
-        co-centered sensor.
+
+        Engine selection: on the single-fused-image splat path the
+        surface points are known exactly, so rolling shutter is a
+        moving-origin reprojection (``_rolling_splat_core``, ~2 ms);
+        otherwise the TSDF raymarcher runs with per-ray origins
+        (general but ~1.5 s/frame at reference scale).
         """
+        w = getattr(self, "_pending_window", None)
+        if w is not None and self.synthesis == "splat":
+            t_frac = np.linspace(0.0, 1.0, self.target.W, endpoint=False)
+            from lidar_transfer_tpu.ops.transforms import interpolate_pose
+            poses = interpolate_pose(np.eye(4),
+                                     np.asarray(pose_next, np.float64),
+                                     t_frac)
+            R_table = jnp.asarray(poses[:, :3, :3], jnp.float32)
+            tau_table = jnp.asarray(poses[:, :3, 3], jnp.float32)
+            fn = getattr(self, "_rolling_jit", None)
+            if fn is None:
+                fn = jax.jit(
+                    lambda win, R, tau: self._rolling_splat_core(
+                        *merge_window(win), R, tau))
+                self._rolling_jit = fn
+            rng, lbl, rem, ends, mask = fn(w, R_table, tau_table)
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask,
+                               adaption="mergemesh-rolling")
         state = self.fused_state()
         t = self.target
         # SensorSpec.beam_angles are already radians (config.py)

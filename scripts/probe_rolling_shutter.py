@@ -67,20 +67,44 @@ jax.block_until_ready(vs.range)
 log(f"transfer done, hit rate {np.asarray(vs.mask).mean():.3f}")
 
 pose_next = np.linalg.inv(poses[0]) @ poses[1]
+
+# --- splat rolling path (transfer_fast stash -> moving-origin reproject)
+vs_f = eng.transfer_fast(window)
+jax.block_until_ready(vs_f.range)
 t0 = time.perf_counter()
 rs = eng.resynthesize_rolling_shutter(pose_next)
 jax.block_until_ready(rs.range)
 t_first = time.perf_counter() - t0
 t0 = time.perf_counter()
-rs = eng.resynthesize_rolling_shutter(pose_next)
+for _ in range(10):
+    rs = eng.resynthesize_rolling_shutter(pose_next)
 jax.block_until_ready(rs.range)
-t_warm = time.perf_counter() - t0
+t_warm = (time.perf_counter() - t0) / 10
 hit = float(np.asarray(rs.mask).mean())
-# sanity: ranges where both hit should be close to the static resynthesis
-both = np.asarray(rs.mask) & np.asarray(vs.mask)
-dr = np.abs(np.asarray(rs.range) - np.asarray(vs.range))[both]
-log(f"rolling shutter: first {t_first:.2f}s (compile), warm "
-    f"{t_warm*1e3:.1f} ms, hit rate {hit:.3f}, median |dr| vs static "
+both = np.asarray(rs.mask) & np.asarray(vs_f.mask)
+dr = np.abs(np.asarray(rs.range) - np.asarray(vs_f.range))[both]
+lblfill = float((np.asarray(rs.label)[np.asarray(rs.mask)] > 0).mean())
+log(f"SPLAT rolling: first {t_first:.2f}s (compile), warm "
+    f"{t_warm*1e3:.1f} ms, hit rate {hit:.3f}, label fill {lblfill:.4f}, "
+    f"median |dr| vs static {np.median(dr):.3f} m")
+assert hit > 0.5 and lblfill > 0.999
+
+# --- raymarcher path (classic transfer -> per-ray-origin march)
+vs, _ = eng.transfer(window)
+jax.block_until_ready(vs.range)
+t0 = time.perf_counter()
+rs_m = eng.resynthesize_rolling_shutter(pose_next)
+jax.block_until_ready(rs_m.range)
+t_first = time.perf_counter() - t0
+t0 = time.perf_counter()
+rs_m = eng.resynthesize_rolling_shutter(pose_next)
+jax.block_until_ready(rs_m.range)
+t_warm = time.perf_counter() - t0
+hit_m = float(np.asarray(rs_m.mask).mean())
+both = np.asarray(rs_m.mask) & np.asarray(rs.mask)
+dr = np.abs(np.asarray(rs_m.range) - np.asarray(rs.range))[both]
+log(f"RAYMARCH rolling: first {t_first:.2f}s (compile), warm "
+    f"{t_warm*1e3:.1f} ms, hit rate {hit_m:.3f}, median |dr| vs splat "
     f"{np.median(dr):.3f} m")
-assert hit > 0.5, f"rolling-shutter hit rate collapsed: {hit}"
+assert hit_m > 0.5, f"rolling-shutter hit rate collapsed: {hit_m}"
 print("OK")

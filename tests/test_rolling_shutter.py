@@ -164,6 +164,72 @@ def test_engine_rolling_shutter_identity(synthetic_dataset, small_spec):
                                atol=1e-4)
 
 
+def test_rolling_splat_identity_matches_static(synthetic_dataset,
+                                               small_spec):
+    """pose_next = identity ==> the splat rolling path reproduces the
+    static fast transfer (same winner set; exact surface ranges)."""
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True)
+    window = load_window(seq, cfg, 2, 8192)
+    vs_static = eng.transfer_fast(window)
+    vs_rs = eng.resynthesize_rolling_shutter(np.eye(4))
+    assert vs_rs.adaption == "mergemesh-rolling"
+    ms, mr = np.asarray(vs_static.mask), np.asarray(vs_rs.mask)
+    # identical winner set; the static path additionally requires an
+    # in-volume BAND sample, the rolling path an in-volume surface —
+    # boundary points may differ either way
+    assert (ms == mr).mean() > 0.97
+    both = ms & mr
+    np.testing.assert_allclose(np.asarray(vs_rs.range)[both],
+                               np.asarray(vs_static.range)[both],
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(vs_rs.label)[both],
+                                  np.asarray(vs_static.label)[both])
+
+
+def test_rolling_splat_cross_validates_raymarcher(synthetic_dataset,
+                                                  small_spec):
+    """Same motion, two engines: the splat rolling reprojection and the
+    per-ray-origin raymarcher must agree on the distorted geometry."""
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, 8192)
+    pose = np.eye(4)
+    pose[0, 3] = 1.0
+
+    eng_s = TransferEngine(small_spec, small_spec, cfg, 8192,
+                           fixed_bounds=True)
+    eng_s.transfer_fast(window)
+    rs_s = eng_s.resynthesize_rolling_shutter(pose)
+
+    eng_r = TransferEngine(small_spec, small_spec, cfg, 8192,
+                           fixed_bounds=True, synthesis="raymarch")
+    eng_r.transfer(window)
+    rs_r = eng_r.resynthesize_rolling_shutter(pose)
+
+    both = np.asarray(rs_s.mask) & np.asarray(rs_r.mask)
+    assert both.mean() > 0.3
+    d = np.abs(np.asarray(rs_s.range) - np.asarray(rs_r.range))[both]
+    # exact surfaces vs trilinear TSDF crossings: sub-voxel agreement
+    assert np.median(d) < 2 * cfg.voxel_size
+
+
 def test_engine_rolling_shutter_motion_shifts(synthetic_dataset,
                                               small_spec):
     """Forward ego motion pulls later-fired columns closer to forward
