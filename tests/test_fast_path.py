@@ -94,6 +94,34 @@ def test_fast_falls_back_for_other_adaptions(synthetic_dataset,
     assert bool(np.asarray(vs.mask).any())
 
 
+def test_fast_beam_angles_target(synthetic_dataset, small_spec):
+    """transfer_fast with an explicit-beam-angle target (the beam_rows
+    z-buffer + beam-exact endpoints branch) matches the classic path."""
+    from lidar_transfer_tpu.config import SensorSpec
+
+    angles_deg = [-20.0, -14.0, -9.0, -5.0, -2.0, 0.0, 2.0, 6.0]
+    target = SensorSpec(name="custom8", beams=8, fov_up=8.0,
+                        fov_down=-22.0, angle_res_hor=360.0 / 128.0,
+                        beam_angles=tuple(np.deg2rad(angles_deg)))
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng_c = TransferEngine(small_spec, target, cfg, CAP, fixed_bounds=True)
+    eng_f = TransferEngine(small_spec, target, cfg, CAP, fixed_bounds=True)
+    vs_c, _ = eng_c.transfer(window)
+    vs_f = eng_f.transfer_fast(window)
+    mc, mf = np.asarray(vs_c.mask), np.asarray(vs_f.mask)
+    assert (mc == mf).mean() > 0.97
+    both = mc & mf
+    # pixel-boundary candidates can pick a different (equally valid)
+    # winner on the two paths — the bulk must agree exactly
+    dr = np.abs(np.asarray(vs_c.range)[both] - np.asarray(vs_f.range)[both])
+    assert (dr < 1e-4).mean() > 0.99
+    same_lbl = (np.asarray(vs_c.label)[both]
+                == np.asarray(vs_f.label)[both])
+    assert same_lbl.mean() > 0.99
+
+
 def test_stream_matches_fast(synthetic_dataset, small_spec):
     """transfer_stream (one lax.scan program over F frames) must produce
     the same VirtualScans as per-frame transfer_fast calls."""
