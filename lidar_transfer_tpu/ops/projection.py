@@ -246,11 +246,27 @@ def _range_project_impl(points, remissions, labels, valid,
     index = jnp.where(has, win_idx, -1).reshape(H, W)
     gidx = jnp.where(has, win_idx, 0)
 
-    rng = jnp.where(has, depth[gidx], 0.0).reshape(H, W).astype(jnp.float32)
-    rem = jnp.where(has, remissions[gidx], -1.0).reshape(H, W)
-    lbl = jnp.where(has, labels[gidx], 0).reshape(H, W).astype(jnp.int32)
-    ufi = jnp.where(has, uf[gidx], 0.0).reshape(H, W).astype(jnp.float32)
-    vfi = jnp.where(has, vf[gidx], 0.0).reshape(H, W).astype(jnp.float32)
+    # ONE (N,5) int32 ROW gather instead of five 1-D gathers: the remote
+    # compiler lowers 1-D gathers through a ~8.5 ns/index scalar path but
+    # vectorizes 2-D row gathers (~20x, docs/PERF.md). Floats ride as
+    # BITCAST int32 lanes — the integer path cannot flush subnormal bit
+    # patterns, so the round-trip is bit-exact for any value (unlike
+    # ints-as-float-values, which cap at 2^24, or floats gathered as
+    # floats... which are fine; the bitcast is for the label column).
+    as_i = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+        a.astype(jnp.float32), jnp.int32)
+    stacked = jnp.stack(
+        [as_i(depth), as_i(remissions), as_i(uf), as_i(vf),
+         labels.astype(jnp.int32)], axis=1)              # (N, 5) i32
+    wa = stacked[gidx]                                   # ONE row gather
+    as_f = lambda c: jax.lax.bitcast_convert_type(  # noqa: E731
+        wa[:, c], jnp.float32)
+
+    rng = jnp.where(has, as_f(0), 0.0).reshape(H, W)
+    rem = jnp.where(has, as_f(1), -1.0).reshape(H, W)
+    lbl = jnp.where(has, wa[:, 4], 0).reshape(H, W)
+    ufi = jnp.where(has, as_f(2), 0.0).reshape(H, W)
+    vfi = jnp.where(has, as_f(3), 0.0).reshape(H, W)
 
     return RangeImage(
         range=rng, index=index, remission=rem.astype(jnp.float32), label=lbl,
