@@ -107,7 +107,8 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
         n_done = 0
         for idx in indices:
             window = load_window(seq, cfg, idx, capacity)
-            vs, _ = eng.transfer(window)
+            # production throughput path (same body frame_parallel runs)
+            vs = eng.transfer_fast(window)
             if same_dims:
                 i, a, m_ = _compare_one(seq, eng, cfg, capacity, idx,
                                         vs.range, vs.label, vs.remission)

@@ -194,10 +194,19 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
     # static, so it can be closed over (stack_windows carries it through)
     primary_index = int(getattr(windows, "primary_index", 0) or 0)
 
+    # the gather-free fast body needs NO volume state — at reference
+    # scale the classic body allocates a 7-8.6 GB volume PER FRAME,
+    # which made frame-parallel infeasible on real chips; splat engines
+    # take the volume-free path, others keep the materialized body
+    use_fast = engine.synthesis == "splat"
+
     def one_frame(points, remissions, labels, valid, rel_pose):
         w = ScanWindow(points=points, remissions=remissions, labels=labels,
                        valid=valid, rel_pose=rel_pose,
                        primary_index=primary_index)
+        if use_fast:
+            rng, lbl, rem, ends, mask, _ = engine._mergemesh_core_fast(w)
+            return rng, lbl, rem, ends, mask
         state = (engine.vol_spec.init_state_compact()
                  if engine.compact_volume else engine.vol_spec.init_state())
         rng, lbl, rem, ends, mask, _, _, _ = engine._mergemesh_core(w, state)
