@@ -149,14 +149,27 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
         profiler_ctx = args.profile
 
+    # plan the frame indices up front so the loader can run ahead
+    plan = []
+    j = idx
+    while j < end:
+        plan.append(j)
+        if args.one_scan or (args.frames is not None
+                             and len(plan) >= args.frames):
+            break
+        j += increment
+    from lidar_transfer_tpu.utils.prefetch import Prefetcher
+    windows_ahead = Prefetcher(
+        lambda i: load_window(seq, cfg, i, capacity), plan, depth=2)
+
     # an exception mid-run must still finalize the trace, or the
     # profile directory is left unreadable (--profile try/finally)
     try:
-        while idx < end:
+        for idx, window in windows_ahead:
             timer = StageTimer()
             t0 = time.time()
             with timer.span("window", cfg.number_of_scans):
-                window = load_window(seq, cfg, idx, capacity)
+                pass        # loaded ahead by the prefetch thread
             with timer.span("transfer", 1):
                 # throughput entry — no per-frame RangeImage (nothing in
                 # this loop reads it; fused_state() rebuilds it lazily
@@ -220,15 +233,12 @@ def main(argv=None) -> int:
             frame_metrics["stages"] = timer.report()
             all_metrics.append(frame_metrics)
             frames_done += 1
-
-            if args.one_scan:
-                break
-            if args.frames is not None and frames_done >= args.frames:
-                break
-            idx += increment
-            print("#" * 30, args.sequence, "-", idx, "/", len(seq), "#" * 30)
+            if frames_done < len(plan):
+                print("#" * 30, args.sequence, "-", idx + increment, "/",
+                      len(seq), "#" * 30)
 
     finally:
+        windows_ahead.close()
         if profiler_ctx:
             jax.profiler.stop_trace()
             print(f"profiler trace in {profiler_ctx}")

@@ -1,0 +1,81 @@
+"""Background-thread window prefetcher (the async data-loader).
+
+The reference's batch loop reads every scan synchronously before
+computing (lidar_deform.py:392-418: SemLaserScan.open_scan per frame,
+then deform). That was free next to its seconds-per-frame compute; at
+~280 virtual scans/s the ~3-5 ms host-side read+pad+device-put would
+dominate the ~2 ms device frame. A single worker thread stays ``depth``
+windows ahead, overlapping disk IO and host padding with device compute
+— JAX device puts are thread-safe, so the arrays arrive on device before
+the consumer asks for them.
+
+Index order is preserved exactly; worker exceptions re-raise at the
+consuming ``__next__`` (annotated with the failing index) so IO errors
+surface where the reference's would.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class Prefetcher:
+    """Iterate ``load_fn(i)`` over ``indices``, loaded ``depth`` ahead.
+
+    Yields ``(i, load_fn(i))`` in order. Use as an iterator or context
+    manager; ``close()`` stops the worker (it also stops on its own when
+    exhausted or after an error).
+    """
+
+    _STOP = object()
+
+    def __init__(self, load_fn, indices, depth: int = 2):
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._closed = threading.Event()
+
+        def work():
+            try:
+                for i in indices:
+                    if self._closed.is_set():
+                        return
+                    try:
+                        item = (i, load_fn(i), None)
+                    except BaseException as e:  # re-raised at __next__
+                        self._q.put((i, None, e))
+                        return
+                    self._q.put(item)
+            finally:
+                self._q.put(self._STOP)
+
+        self._worker = threading.Thread(target=work, daemon=True,
+                                        name="lt-prefetch")
+        self._worker.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._STOP:
+            raise StopIteration
+        i, value, err = item
+        if err is not None:
+            raise RuntimeError(f"prefetch of index {i} failed") from err
+        return i, value
+
+    def close(self):
+        self._closed.set()
+        # drain so the worker's puts can't block forever
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -92,3 +92,27 @@ def test_pad_points_capacity():
     assert p.shape == (16, 3)
     assert m.sum() == 10
     assert (p[10:] == 0).all()
+
+
+def test_prefetcher_order_and_errors():
+    from lidar_transfer_tpu.utils.prefetch import Prefetcher
+
+    out = list(Prefetcher(lambda i: i * i, [3, 1, 4, 1, 5], depth=2))
+    assert out == [(3, 9), (1, 1), (4, 16), (1, 1), (5, 25)]
+
+    def boom(i):
+        if i == 2:
+            raise IOError("nope")
+        return i
+
+    it = Prefetcher(boom, [0, 1, 2, 3], depth=1)
+    assert next(it) == (0, 0)
+    assert next(it) == (1, 1)
+    import pytest
+    with pytest.raises(RuntimeError, match="index 2"):
+        next(it)
+
+    # close() mid-stream doesn't hang the worker
+    it2 = Prefetcher(lambda i: i, range(1000), depth=2)
+    assert next(it2)[0] == 0
+    it2.close()
