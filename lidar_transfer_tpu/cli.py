@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write per-frame metrics to this JSON file.")
     p.add_argument("--png", action="store_true",
                    help="Export label/range PNGs of each virtual scan.")
+    p.add_argument("--stream", type=int, default=0, metavar="N",
+                   help="Process N frames per device program "
+                        "(TransferEngine.transfer_stream) — amortizes "
+                        "per-program launch overhead for batch "
+                        "conversion. 0 = per-frame (default). Ignored "
+                        "with --rolling-shutter/--ply.")
     p.add_argument("--rolling-shutter", action="store_true",
                    help="Model ego motion within each frame: target rays "
                         "originate at the per-column interpolated sensor "
@@ -162,28 +168,71 @@ def main(argv=None) -> int:
     windows_ahead = Prefetcher(
         lambda i: load_window(seq, cfg, i, capacity), plan, depth=2)
 
+    # --stream N: N frames per device program (transfer_stream).
+    # Incompatible with per-frame lazy-volume consumers (the stash holds
+    # only the batch's LAST frame).
+    stream = args.stream
+    if stream and (args.rolling_shutter or args.ply):
+        print("--stream disabled: --rolling-shutter/--ply need the "
+              "per-frame volume stash")
+        stream = 0
+
+    def frame_results():
+        """Yield (idx, VirtualScan, timer, t0) per frame — either the
+        per-frame path or sliced out of a streamed mini-batch."""
+        from lidar_transfer_tpu.pipeline.deform import VirtualScan
+        from lidar_transfer_tpu.pipeline.multiscan import stack_windows
+
+        if not stream:
+            for idx, window in windows_ahead:
+                timer = StageTimer()
+                t0 = time.time()
+                with timer.span("transfer", 1):
+                    # throughput entry — no per-frame RangeImage
+                    # (nothing in this loop reads it; fused_state()
+                    # rebuilds it lazily for --ply / --rolling-shutter)
+                    vs = eng.transfer_fast(window)
+                    if (args.rolling_shutter and idx + 1 < len(seq)
+                            and cfg.adaption in ("mesh", "mergemesh")):
+                        import numpy as _np
+
+                        pose_next = (_np.linalg.inv(seq.poses[idx])
+                                     @ seq.poses[idx + 1])
+                        vs = eng.resynthesize_rolling_shutter(pose_next)
+                    jax.block_until_ready(vs.range)
+                yield idx, vs, timer, t0
+            return
+
+        buf = []
+
+        def flush():
+            if not buf:
+                return
+            timer = StageTimer()
+            t0 = time.time()
+            with timer.span("transfer_stream", len(buf)):
+                sv = eng.transfer_stream(
+                    stack_windows([w for _, w in buf]))
+                jax.block_until_ready(sv.range)
+            for k, (i, _) in enumerate(buf):
+                vs_k = VirtualScan(
+                    range=sv.range[k], label=sv.label[k],
+                    remission=sv.remission[k], points=sv.points[k],
+                    mask=sv.mask[k], adaption=sv.adaption)
+                yield i, vs_k, timer, t0
+                t0 = time.time()       # amortized per-frame wall
+            buf.clear()
+
+        for idx, window in windows_ahead:
+            buf.append((idx, window))
+            if len(buf) == stream:
+                yield from flush()
+        yield from flush()
+
     # an exception mid-run must still finalize the trace, or the
     # profile directory is left unreadable (--profile try/finally)
     try:
-        for idx, window in windows_ahead:
-            timer = StageTimer()
-            t0 = time.time()
-            with timer.span("window", cfg.number_of_scans):
-                pass        # loaded ahead by the prefetch thread
-            with timer.span("transfer", 1):
-                # throughput entry — no per-frame RangeImage (nothing in
-                # this loop reads it; fused_state() rebuilds it lazily
-                # for --ply / --rolling-shutter / attrs="volume")
-                vs = eng.transfer_fast(window)
-                if (args.rolling_shutter and idx + 1 < len(seq)
-                        and cfg.adaption in ("mesh", "mergemesh")):
-                    import numpy as _np
-
-                    pose_next = (_np.linalg.inv(seq.poses[idx])
-                                 @ seq.poses[idx + 1])
-                    vs = eng.resynthesize_rolling_shutter(pose_next)
-                jax.block_until_ready(vs.range)
-
+        for idx, vs, timer, t0 in frame_results():
             frame_metrics = {"index": idx}
             if same_dims:
                 # source reference scan (≡ lidar_deform.py:403-409)

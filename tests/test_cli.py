@@ -64,3 +64,37 @@ def test_cli_mergemesh_one_scan(tmp_path, synthetic_dataset):
     assert len(metrics) == 1
     assert metrics[0]["iou"] > 0.5
     assert np.isfinite(metrics[0]["mse"])
+
+
+def test_cli_stream_matches_per_frame(tmp_path, synthetic_dataset):
+    """--stream N must reproduce the per-frame loop's metrics and write
+    the same frames."""
+    cfg = TransferConfig(
+        adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    cfg_path = str(tmp_path / "cfg.yaml")
+    cfg.to_yaml(cfg_path)
+
+    outs = {}
+    for name, extra in (("single", []), ("stream", ["--stream", "2"])):
+        out = str(tmp_path / name)
+        os.makedirs(out)
+        mpath = str(tmp_path / f"{name}.json")
+        rc = cli.main([
+            "-d", synthetic_dataset, "-c", cfg_path, "-b", "-w",
+            "-p", out, "--frames", "3", "--metrics-json", mpath,
+            "--fixed-bounds", "--cpu", *extra,
+        ])
+        assert rc == 0
+        with open(mpath) as f:
+            outs[name] = json.load(f)
+        bins = sorted(os.listdir(
+            os.path.join(out, "sequences", "00", "velodyne")))
+        assert len(bins) == 3
+
+    assert [m["index"] for m in outs["single"]] == \
+           [m["index"] for m in outs["stream"]]
+    for a, b in zip(outs["single"], outs["stream"]):
+        # same frame body modulo scan-program fusion rounding
+        np.testing.assert_allclose(a["iou"], b["iou"], atol=5e-3)
+        np.testing.assert_allclose(a["acc"], b["acc"], atol=5e-3)
