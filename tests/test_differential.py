@@ -125,3 +125,44 @@ def test_confusion_three_way_fuzz(seed):
                                       interpret=True))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(a, c)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_winner_flags_vs_image_zbuffer(seed):
+    """project_winners / project_winner_order must select EXACTLY the
+    image z-buffer's winner set over random geometries — including
+    duplicate depths (exact-tie stability) and out-of-FOV points."""
+    from lidar_transfer_tpu.ops import projection as P
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 4000))
+    H, W = int(rng.integers(4, 32)), int(rng.integers(32, 256))
+    fov_up = float(rng.uniform(2, 15))
+    fov_down = float(rng.uniform(-30, -10))
+    pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    # force exact depth ties: duplicate a slice of points verbatim
+    k = n // 5
+    pts[n - k:] = pts[:k]
+    valid = rng.random(n) > 0.1
+    rem = rng.uniform(0, 1, n).astype(np.float32)
+    lbl = rng.integers(1, 40, n).astype(np.int32)
+
+    ri = P.range_project(jnp.asarray(pts), jnp.asarray(rem),
+                         jnp.asarray(lbl), jnp.asarray(valid),
+                         H=H, W=W, fov_up_deg=fov_up,
+                         fov_down_deg=fov_down)
+    expect = np.zeros(n, bool)
+    idx = np.asarray(ri.index).reshape(-1)
+    expect[idx[idx >= 0]] = True
+
+    is_winner, depth = P.project_winners(
+        jnp.asarray(pts), jnp.asarray(valid), H=H, W=W,
+        fov_up_deg=fov_up, fov_down_deg=fov_down)
+    np.testing.assert_array_equal(np.asarray(is_winner), expect)
+
+    si, is_first, _ = P.project_winner_order(
+        jnp.asarray(pts), jnp.asarray(valid), H=H, W=W,
+        fov_up_deg=fov_up, fov_down_deg=fov_down)
+    got = np.zeros(n, bool)
+    got[np.asarray(si)[np.asarray(is_first)]] = True
+    np.testing.assert_array_equal(got, expect)
