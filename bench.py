@@ -38,9 +38,10 @@ def main():
                     help="identity 64x2048 target instead of 32 beams "
                          "(BASELINE.md protocol's second operating point)")
     ap.add_argument("--adaption", default="mergemesh",
-                    choices=["mergemesh", "mesh"],
+                    choices=["mergemesh", "mesh", "cp"],
                     help="mesh = per-scan integrates (staged dispatch; "
-                         "measures the materialized-fusion pipeline)")
+                         "measures the materialized-fusion pipeline); "
+                         "cp = pure projection resampling (no volume)")
     ap.add_argument("--bounds", type=float, default=50.0,
                     help="Half-extent of the xy voxel bounds in meters "
                          "(50 = the reference's config/lidar_transfer.yaml "

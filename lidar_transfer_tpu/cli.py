@@ -190,8 +190,14 @@ def main(argv=None) -> int:
                 with timer.span("transfer", 1):
                     # throughput entry — no per-frame RangeImage
                     # (nothing in this loop reads it; fused_state()
-                    # rebuilds it lazily for --ply / --rolling-shutter)
-                    vs = eng.transfer_fast(window)
+                    # rebuilds it lazily for --ply / --rolling-shutter).
+                    # cp keeps its dispatch-split exact-identity path
+                    # per frame (deform.cp docstring); --stream opts
+                    # into the fused body explicitly.
+                    if cfg.adaption == "cp":
+                        vs, _ = eng.transfer(window)
+                    else:
+                        vs = eng.transfer_fast(window)
                     if (args.rolling_shutter and idx + 1 < len(seq)
                             and cfg.adaption in ("mesh", "mergemesh")):
                         import numpy as _np

@@ -170,6 +170,18 @@ class TransferEngine:
             mask=ri.mask, adaption="cp")
         return vs, ri
 
+    def _cp_core_fast(self, window: ScanWindow):
+        """Whole-frame cp body for the throughput path.
+
+        One fused program — XLA's excess-precision FMA may re-round
+        pixel coords and flip ~1.7% of boundary pixels vs the
+        dispatch-split ``cp()`` (which stays the exact-identity parity
+        path); in exchange the frame is a single launch.
+        """
+        ri, back = self._cp_core(window)
+        return (ri.range, ri.label, jnp.maximum(ri.remission, 0.0),
+                back.reshape(self.target.H, self.target.W, 3), ri.mask)
+
     # ------------------------------------------------- shared mesh helpers
     def _take_state(self):
         """Resident volume buffers, recycled across frames.
@@ -679,6 +691,14 @@ class TransferEngine:
         Falls back to ``transfer()`` where the fast body doesn't apply
         (non-mergemesh adaption or raymarch synthesis).
         """
+        if self.cfg.adaption == "cp":
+            fn = getattr(self, "_cp_jit_fast", None)
+            if fn is None:
+                fn = jax.jit(self._cp_core_fast)
+                self._cp_jit_fast = fn
+            rng, lbl, rem, ends, mask = fn(window)
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask, adaption="cp")
         if not (self.cfg.adaption == "mergemesh"
                 and self.synthesis == "splat"):
             return self.transfer(window)[0]
@@ -715,6 +735,22 @@ class TransferEngine:
         not apply (non-mergemesh adaption, raymarch synthesis, or
         per-frame clipped bounds).
         """
+        if self.cfg.adaption == "cp":
+            fn = getattr(self, "_cp_jit_stream", None)
+            if fn is None:
+                def cp_stream(ws):
+                    def step(carry, w):
+                        return carry, self._cp_core_fast(w)
+                    _, outs = jax.lax.scan(step, 0, ws)
+                    return outs
+                fn = jax.jit(cp_stream)
+                self._cp_jit_stream = fn
+            rng, lbl, rem, ends, mask = fn(windows)
+            self._pending_fusion = None
+            self._pending_window = None
+            self._fused = False
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask, adaption="cp")
         if not (self.cfg.adaption == "mergemesh"
                 and self.synthesis == "splat" and self.fixed_bounds):
             outs = [self.transfer_fast(
