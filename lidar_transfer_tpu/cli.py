@@ -177,9 +177,47 @@ def main(argv=None) -> int:
               "per-frame volume stash")
         stream = 0
 
+    # batched-SYNC metrics for the stream path: the per-frame loop's
+    # float() reads each pay this environment's ~30 ms device->host
+    # round-trip (BASELINE.md). Here every frame's source projection and
+    # compare dispatch ASYNC — bit-identical to the per-frame path
+    # (fusing the projection into one big program would re-round pixel
+    # coords, the cp() FMA effect) — and the stream syncs ONCE per
+    # batch. The source scan is the window's PRIMARY scan (window_indices
+    # puts it first), so no re-read from disk is needed.
+    def batch_metrics(bufwins, sv):
+        futures = []
+        for k, w in enumerate(bufwins):
+            val = P.mask_classes(w.labels[0], w.valid[0],
+                                 cfg.ignore_classes)
+            src = P.range_project(
+                w.points[0], w.remissions[0], w.labels[0], val,
+                H=source.H, W=source.W, fov_up_deg=source.fov_up,
+                fov_down_deg=source.fov_down,
+                beam_angles=eng.s_beam_angles)
+            futures.append(compare_scans(
+                src.label, src.mask, src.range,
+                jnp.maximum(src.remission, 0.0),
+                sv.label[k], sv.range[k], sv.remission[k]))
+        # ONE device->host read for the whole batch: each read through
+        # this environment's remote runtime costs a full ~30 ms round
+        # trip even when the value is ready, so per-frame scalar reads
+        # dominated end-to-end conversion
+        nc = futures[0].iou_per_class.shape[0]
+        packed = np.asarray(jnp.stack([
+            jnp.concatenate([r.iou_per_class,
+                             r.present.astype(jnp.float32),
+                             jnp.stack([r.mean_iou, r.mean_acc, r.mse])])
+            for r in futures]))
+        return [dict(iou_per_class=row[:nc],
+                     present=row[nc:2 * nc] > 0.5,
+                     iou=float(row[2 * nc]), acc=float(row[2 * nc + 1]),
+                     mse=float(row[2 * nc + 2])) for row in packed]
+
     def frame_results():
-        """Yield (idx, VirtualScan, timer, t0) per frame — either the
-        per-frame path or sliced out of a streamed mini-batch."""
+        """Yield (idx, VirtualScan, timer, t0, pre_metrics) per frame —
+        either the per-frame path (pre_metrics None) or sliced out of a
+        streamed mini-batch (metrics batch-computed)."""
         from lidar_transfer_tpu.pipeline.deform import VirtualScan
         from lidar_transfer_tpu.pipeline.multiscan import stack_windows
 
@@ -206,7 +244,7 @@ def main(argv=None) -> int:
                                      @ seq.poses[idx + 1])
                         vs = eng.resynthesize_rolling_shutter(pose_next)
                     jax.block_until_ready(vs.range)
-                yield idx, vs, timer, t0
+                yield idx, vs, timer, t0, None
             return
 
         buf = []
@@ -216,16 +254,25 @@ def main(argv=None) -> int:
                 return
             timer = StageTimer()
             t0 = time.time()
+            stacked = stack_windows([w for _, w in buf])
             with timer.span("transfer_stream", len(buf)):
-                sv = eng.transfer_stream(
-                    stack_windows([w for _, w in buf]))
+                sv = eng.transfer_stream(stacked)
                 jax.block_until_ready(sv.range)
+            pre = ([None] * len(buf) if not same_dims
+                   else batch_metrics([w for _, w in buf], sv))
+            # pull the batch outputs in FIVE device->host reads total —
+            # per-frame reads each cost a ~30 ms tunnel round trip
+            rng_np = np.asarray(sv.range)
+            lbl_np = np.asarray(sv.label)
+            rem_np = np.asarray(sv.remission)
+            pts_np = np.asarray(sv.points)
+            msk_np = np.asarray(sv.mask)
             for k, (i, _) in enumerate(buf):
                 vs_k = VirtualScan(
-                    range=sv.range[k], label=sv.label[k],
-                    remission=sv.remission[k], points=sv.points[k],
-                    mask=sv.mask[k], adaption=sv.adaption)
-                yield i, vs_k, timer, t0
+                    range=rng_np[k], label=lbl_np[k],
+                    remission=rem_np[k], points=pts_np[k],
+                    mask=msk_np[k], adaption=sv.adaption)
+                yield i, vs_k, timer, t0, pre[k]
                 t0 = time.time()       # amortized per-frame wall
             buf.clear()
 
@@ -238,9 +285,17 @@ def main(argv=None) -> int:
     # an exception mid-run must still finalize the trace, or the
     # profile directory is left unreadable (--profile try/finally)
     try:
-        for idx, vs, timer, t0 in frame_results():
+        for idx, vs, timer, t0, pre in frame_results():
             frame_metrics = {"index": idx}
-            if same_dims:
+            if pre is not None:
+                iou, present = pre["iou_per_class"], pre["present"]
+                print("IoU class: ", (iou[present] * 100).astype(int))
+                print("IoU: ", pre["iou"])
+                print("Acc: ", pre["acc"])
+                print("MSE: ", pre["mse"])
+                frame_metrics.update(iou=pre["iou"], acc=pre["acc"],
+                                     mse=pre["mse"])
+            elif same_dims:
                 # source reference scan (≡ lidar_deform.py:403-409)
                 pts, rem, lbl = seq.read(idx)
                 p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
