@@ -338,6 +338,9 @@ class TransferEngine:
             origin, active = self._frame_volume(pts, valid)
             pend = (ri, self.target.fov_up, self.target.fov_down,
                     origin, active)
+            # keep the materialized record visible (bench --fusion and
+            # other consumers read _pending_fusion after fused_state)
+            self._pending_fusion = pend
             self._last_sources = ((ri, self.target.fov_up,
                                    self.target.fov_down),)
         ri, fov_up, fov_down, origin, active = pend
