@@ -34,6 +34,8 @@ run lidar_transfer_tpu.cli --cpu -d "$W/ds" -c "$W/cfg.yaml" --one_scan -b \
     -w -p "$W/out" --ply "$W/ply" --metrics-json "$W/m.json"
 run lidar_transfer_tpu.cli --cpu -d "$W/ds" -c "$W/cfg.yaml" --one_scan -b \
     --rolling-shutter
+run lidar_transfer_tpu.cli --cpu -d "$W/ds" -c "$W/cfg.yaml" -b --frames 3 \
+    --fixed-bounds --stream 2 -w -p "$W/out_stream"
 run lidar_transfer_tpu.visualize -d "$W/ds" --out "$W/viz" --frames 1
 run lidar_transfer_tpu.experiments.grid_search --cpu -d "$W/ds" \
     --frames-list 1 --voxel-sizes 0.25 --adaption cp -c "$W/cfg.yaml" \
