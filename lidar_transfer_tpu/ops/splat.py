@@ -216,9 +216,14 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     gic = jnp.clip(gi, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
     flat = (gic[:, 0] * Y + gic[:, 1]) * Z + gic[:, 2]
 
-    tsdf_v = tsdf.reshape(-1)[flat].astype(jnp.float32)
-    label_v = label.reshape(-1)[flat].astype(jnp.int32)
-    rem_v = rem.reshape(-1)[flat].astype(jnp.float32)
+    from lidar_transfer_tpu.ops.gather import lane_pick
+
+    # lane_pick: 2x the scalar-lowered 1-D gather at these index counts
+    # (ops/gather.py) — these three fetches were ~60% of the mesh
+    # adaption's frame time
+    tsdf_v = lane_pick(tsdf.reshape(-1), flat).astype(jnp.float32)
+    label_v = lane_pick(label.reshape(-1), flat).astype(jnp.int32)
+    rem_v = lane_pick(rem.reshape(-1), flat).astype(jnp.float32)
 
     # a usable sample: inside the (cropped) volume, in the written band
     # (tsdf <= 0 — integrate only writes dist<0 voxels on first touch),
