@@ -223,13 +223,42 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     # adaption's frame time
     tsdf_v = lane_pick(tsdf.reshape(-1), flat).astype(jnp.float32)
     label_v = lane_pick(label.reshape(-1), flat).astype(jnp.int32)
-    rem_v = lane_pick(rem.reshape(-1), flat).astype(jnp.float32)
 
     # a usable sample: inside the (cropped) volume, in the written band
     # (tsdf <= 0 — integrate only writes dist<0 voxels on first touch),
     # and carrying a real label
-    valid = valid & inside & (tsdf_v <= 0.0) & (label_v > 0)
-    return pos, t, tsdf_v, label_v, rem_v, valid
+    ok = valid & inside & (tsdf_v <= 0.0) & (label_v > 0)
+
+    # collapse K samples -> ONE candidate per ray (the image path's
+    # min-over-partition argument, _band_samples_image: all K samples of
+    # a ray share its target pixel and depth grows with k, so the
+    # z-buffer's per-pixel min over the K*HW expansion equals a min over
+    # per-ray minima — the smallest usable k). Downstream sort/scatter
+    # shrink K-fold, and the remission volume is only read at the CHOSEN
+    # sample instead of all K (2/3 fewer band gathers; tie-breaks at
+    # exactly equal depth resolve by ray order, as on the image path).
+    HW = rng_flat.shape[0]
+    okK = ok.reshape(K, HW)
+    kmin = jnp.argmax(okK, axis=0)                  # first usable k
+    found = jnp.any(okK, axis=0)
+    selm = (jax.lax.broadcasted_iota(jnp.int32, (K, HW), 0)
+            == kmin[None, :])
+
+    def pick(aK):
+        """Select the chosen sample's value per ray (exact: exactly one
+        row survives the mask; dtype preserved — flat indices exceed
+        f32's 2^24 integer range, so no float round-trips)."""
+        a = aK.reshape(K, HW)
+        return jnp.sum(jnp.where(selm, a, jnp.zeros((), a.dtype)),
+                       axis=0)
+
+    t_c = pick(t)
+    tsdf_c = pick(tsdf_v)
+    label_c = pick(label_v)
+    flat_c = pick(flat)
+    pos_c = dirs * t_c[:, None]
+    rem_c = lane_pick(rem.reshape(-1), flat_c).astype(jnp.float32)
+    return pos_c, t_c, tsdf_c, label_c, rem_c, found
 
 
 def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
