@@ -34,6 +34,17 @@ def generate_fake_dataset(dataset: str, out_root: str, cfg, *,
         args += ["-t", target_yaml]
     if frames is not None:
         args += ["--frames", str(frames)]
+    # start from a CLEAN sequence dir: a reused work_dir would silently
+    # mix this run's frames with a previous run's leftovers (training and
+    # eval then see a phantom larger dataset — the reference warns and
+    # overwrites partial dirs, lidar_deform.py:162-196)
+    seq_old = os.path.join(out_root, "sequences", sequence)
+    if os.path.isdir(seq_old):
+        import shutil
+
+        if verbose:
+            print(f"clearing previous fake sequence at {seq_old}")
+        shutil.rmtree(seq_old)
     cfg_path = os.path.join(out_root, "_tool_config.yaml")
     os.makedirs(out_root, exist_ok=True)
     cfg.to_yaml(cfg_path)
