@@ -6,25 +6,53 @@ voxel 0.05 m, mergemesh adaption (the reference's main path, SURVEY.md §3.1).
 The scene is the procedural synthetic world (the reference's minimal.zip
 fixture is not shipped); point counts (~130k/scan) match SemanticKITTI.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "scans/sec", "vs_baseline": N}
 vs_baseline is against the BASELINE.json north star of 50 scans/sec/chip.
 
+Survivability (round-2 postmortem: the axon tunnel's first device->host
+transfer regressed past 9 minutes and the driver's timeout killed the
+bench before any output): by default the process SUPERVISES a child that
+does the real measurement under a wall-clock budget (env LT_BENCH_DEADLINE,
+default 300 s).  The child emits partial "RESULT {...}" lines the moment
+each throughput number exists and heartbeats its current phase to stderr
+every 10 s; if it hangs, the supervisor kills it, optionally re-measures
+on the CPU backend with the leftover budget, and ALWAYS prints a JSON
+line (marked "degraded" when the full protocol didn't run).
+
 Usage: python bench.py [--frames N] [--warmup N] [--voxel V] [--cpu]
+       LT_BENCH_DEADLINE=600 python bench.py        # larger budget
+       python bench.py --no-supervise               # measure in-process
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
+
+_T0 = time.monotonic()
+_PHASE = "startup"
+_DEADLINE = float(os.environ.get("LT_BENCH_DEADLINE", "300"))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def remaining():
+    return _DEADLINE - (time.monotonic() - _T0)
+
+
+def set_phase(name):
+    global _PHASE
+    _PHASE = name
+    log(f"[{time.monotonic()-_T0:6.1f}s] phase: {name}")
+
+
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -53,12 +81,162 @@ def main():
                     help="Also measure materialized TSDF-integrate "
                          "throughput (the reference's 'fusion FPS' printed "
                          "field; the transfer itself defers this write).")
+    ap.add_argument("--quick", action="store_true",
+                    help="Headline throughput only: skip the latency loop, "
+                         "miss decomposition, and fusion phases.")
     ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args()
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="Measure in this process (no watchdog child).")
+    return ap.parse_args(argv)
 
+
+# --------------------------------------------------------------- supervisor
+
+def _reader(stream, sink_line, echo=None):
+    def run():
+        for raw in iter(stream.readline, b""):
+            line = raw.decode("utf-8", "replace").rstrip("\n")
+            if echo is not None:
+                print(line, file=echo, flush=True)
+            if sink_line is not None:
+                sink_line(line)
+        stream.close()
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def _run_child(extra_args, budget):
+    """Run the inner measurement child; return (final_json, last_partial)."""
+    env = dict(os.environ)
+    env["LT_BENCH_INNER"] = "1"
+    env["LT_BENCH_DEADLINE"] = str(max(budget, 10.0))
+    cmd = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:] \
+        + extra_args
+    log(f"supervisor: running child (budget {budget:.0f}s): "
+        f"{' '.join(cmd[1:])}")
+    state = {"final": None, "partial": None}
+
+    def on_stdout(line):
+        line = line.strip()
+        payload = None
+        if line.startswith("RESULT "):
+            payload = line[len("RESULT "):]
+            key = "partial"
+        elif line.startswith("{"):
+            payload = line
+            key = "final"
+        if payload:
+            try:
+                state[key] = json.loads(payload)
+            except ValueError:
+                pass
+
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    t_out = _reader(proc.stdout, on_stdout)
+    t_err = _reader(proc.stderr, None, echo=sys.stderr)
+    try:
+        proc.wait(timeout=budget)
+    except subprocess.TimeoutExpired:
+        log("supervisor: child over budget — killing it")
+        proc.kill()
+        proc.wait()
+    t_out.join(timeout=5)
+    t_err.join(timeout=5)
+    if proc.returncode not in (0, None):
+        log(f"supervisor: child exited rc={proc.returncode}")
+    return state["final"], state["partial"]
+
+
+def supervise(args):
+    """Always print exactly one JSON line on stdout, within the deadline."""
+    reserve = 10.0                       # time to kill + fall back + print
+    budget = remaining() - reserve
+    final, partial = _run_child([], budget)
+    if final is not None:
+        print(json.dumps(final))
+        return 0
+    if partial is not None:
+        partial["degraded"] = True
+        partial["note"] = "child hung/died after this measurement"
+        print(json.dumps(partial))
+        return 0
+    # Nothing measured on the requested backend. If that backend was the
+    # TPU and there is budget left, measure on CPU so the scoreboard gets
+    # a real (clearly marked) number instead of nothing.
+    if not args.cpu and remaining() > 45.0:
+        log("supervisor: TPU run produced nothing — CPU fallback")
+        final, partial = _run_child(
+            ["--cpu", "--quick", "--frames", "4", "--warmup", "1",
+             "--stream", "2"], remaining() - reserve)
+        got = final or partial
+        if got is not None:
+            got["degraded"] = True
+            got["backend"] = "cpu-fallback"
+            got["note"] = ("TPU measurement hung (tunnel warmup "
+                           "pathology); value measured on the host CPU")
+            print(json.dumps(got))
+            return 0
+    print(json.dumps({
+        "metric": "virtual scans/sec/chip (64x2048 transfer)",
+        "value": 0.0, "unit": "scans/sec", "vs_baseline": 0.0,
+        "degraded": True,
+        "note": "no measurement completed within LT_BENCH_DEADLINE "
+                f"({_DEADLINE:.0f}s); see stderr heartbeats for the "
+                "phase that hung",
+    }))
+    return 0
+
+
+# -------------------------------------------------------------------- inner
+
+def _heartbeat():
+    def run():
+        while True:
+            time.sleep(10)
+            log(f"hb {time.monotonic()-_T0:6.1f}s elapsed, "
+                f"{remaining():6.1f}s left, phase={_PHASE}")
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _warm_transfer_path(jnp, np):
+    """First device->host transfer, watchdog'd.
+
+    It can take 25-100 s through the axon tunnel (minutes when the
+    tunnel is sick).  Run it in a worker thread so this thread can
+    heartbeat and retry with fresh dispatches; an unserviceable tunnel
+    is ultimately the supervisor's problem (it kills us at budget).
+    """
+    done = threading.Event()
+
+    def xfer():
+        try:
+            np.asarray(jnp.zeros((8, 128), jnp.float32))
+            np.asarray(jnp.zeros((8, 128), bool))
+        finally:
+            done.set()
+
+    t0 = time.monotonic()
+    threading.Thread(target=xfer, daemon=True).start()
+    attempt = 1
+    while not done.wait(timeout=60.0):
+        attempt += 1
+        log(f"warmup transfer still blocked after "
+            f"{time.monotonic()-t0:.0f}s — dispatching retry {attempt}")
+        threading.Thread(target=xfer, daemon=True).start()
+    log(f"transfer-path warmup: {time.monotonic()-t0:.1f}s")
+
+
+def measure(args):
+    """The real measurement. Emits RESULT lines as numbers appear and a
+    final JSON line; budget-aware (optional phases are skipped when the
+    remaining time would not cover them)."""
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
+    _heartbeat()
+    set_phase("import jax")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,13 +252,8 @@ def main():
     from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
 
     log(f"devices: {jax.devices()}")
-    # warm the device->host transfer path NOW: the first transfer in a
-    # process can take minutes through the axon tunnel (it compiles/warms a
-    # transfer program); do it on a tiny buffer before anything is timed
-    t0 = time.time()
-    np.asarray(jnp.zeros((8, 128), jnp.float32))
-    np.asarray(jnp.zeros((8, 128), bool))
-    log(f"transfer-path warmup: {time.time()-t0:.1f}s")
+    set_phase("device->host transfer warmup")
+    _warm_transfer_path(jnp, np)
 
     source = HDL64
     if args.identity:
@@ -94,6 +267,21 @@ def main():
         voxel_size=args.voxel,
         voxel_bounds=((-b, b), (-b, b), (-5.0, 5.0)))
 
+    metric_name = (f"virtual scans/sec/chip (64x2048 -> "
+                   f"{target.H}x{target.W}, {args.adaption}, "
+                   f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
+                   f"nscans {args.nscans}")
+    result = {"metric": metric_name + ")", "value": 0.0,
+              "unit": "scans/sec", "vs_baseline": 0.0}
+
+    def record(sps, note=""):
+        if sps > result["value"]:
+            result["value"] = round(sps, 2)
+            result["vs_baseline"] = round(sps / 50.0, 3)
+            result["metric"] = metric_name + note + ")"
+        print("RESULT " + json.dumps(result), flush=True)
+
+    set_phase("build inputs")
     # synthetic scans at slightly different poses (static shapes: capacity
     # fits the 64x2048 = 131k max return count)
     scene = synthetic.Scene.default()
@@ -132,45 +320,46 @@ def main():
         # under the remote compiler's scalar-gather lowering)
         return eng.transfer_fast(w)
 
-    # warmup (compile)
+    set_phase("compile + warmup")
     t0 = time.perf_counter()
     for _ in range(args.warmup):
         vs = run_frame(window)
         jax.block_until_ready(vs.range)
     log(f"warmup+compile: {time.perf_counter()-t0:.1f}s")
 
-    # single-frame LATENCY: block after every frame (pays the tunnel's
-    # per-dispatch round-trip in full — ~30 ms through the remote runtime
-    # in this environment, unrelated to on-chip time)
+    # FIRST NUMBER ASAP — a short pipelined burst so a later hang still
+    # leaves the supervisor a real throughput measurement
+    set_phase("quick pipelined throughput")
+    qf = max(4, min(args.frames, 8))
     t0 = time.perf_counter()
-    for i in range(args.frames):
-        vs = run_frame(window)
-        jax.block_until_ready(vs.range)
-    lat_ms = (time.perf_counter() - t0) / args.frames * 1e3
-    log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
+    outs = [run_frame(window) for _ in range(qf)]
+    jax.block_until_ready(outs[-1].range)
+    record(qf / (time.perf_counter() - t0))
 
     # THROUGHPUT: stream frames asynchronously — issue all, sync once.
     # JAX dispatch is async, so the tunnel round-trip overlaps with device
     # execution exactly as a production pipeline over a scan stream would;
     # device work is serialized either way.
+    set_phase("pipelined throughput")
+    rays = target.H * target.W
     t0 = time.perf_counter()
     outs = [run_frame(window) for _ in range(args.frames)]
     jax.block_until_ready(outs[-1].range)
     dt = time.perf_counter() - t0
     vs = outs[-1]
     scans_per_sec = args.frames / dt
-    rays = target.H * target.W
     log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
         f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
         f"hit rate {np.asarray(vs.mask).mean():.3f}")
+    record(scans_per_sec)
 
     # STREAMED throughput (the headline with --stream F): F frames per
     # device program via TransferEngine.transfer_stream — after the
     # gather-free rewrite the per-program launch overhead (~1.8 ms
     # through the remote runtime) dominates the 2.6 ms device frame;
     # mini-batching amortizes it.
-    stream_note = ""
-    if args.stream > 0:
+    if args.stream > 0 and remaining() > 60:
+        set_phase(f"streamed throughput (batch {args.stream})")
         F = args.stream
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (F,) + x.shape), window)
@@ -183,46 +372,69 @@ def main():
         jax.block_until_ready(souts[-1].range)
         s_dt = time.perf_counter() - t0
         s_sps = n_batches * F / s_dt
-        if s_sps > scans_per_sec:
-            scans_per_sec = s_sps
-            stream_note = f", stream {F}"
         log(f"{n_batches}x{F} streamed frames in {s_dt:.2f}s -> "
             f"{s_sps:.2f} scans/s, "
             f"{s_sps*rays/1e6:.1f} Mrays/s synthesized, "
             f"hit rate {np.asarray(sv.mask[-1]).mean():.3f}")
+        record(s_sps, note=f", stream {F}")
+    elif args.stream > 0:
+        log("skipping streamed phase (budget)")
 
     # semantic sanity: every hit pixel must carry a label (the band
     # candidates require label>0) — catches TPU-only data corruption the
-    # CPU tests can't (e.g. subnormal-flush of bitcast label bits)
+    # CPU tests can't (e.g. subnormal-flush of bitcast label bits).
+    # Recorded in the JSON (and echoed); never blocks the number.
+    set_phase("label-fill check")
     hitm = np.asarray(vs.mask)
+    label_ok = True
     if hitm.any():
         lbl_fill = float((np.asarray(vs.label)[hitm] > 0).mean())
         log(f"label fill over hit pixels: {lbl_fill:.4f}")
-        assert lbl_fill > 0.999, (
-            f"labels lost on device (fill {lbl_fill}) — see splat.py "
-            "subnormal note")
+        result["label_fill"] = round(lbl_fill, 4)
+        label_ok = lbl_fill > 0.999
+        if not label_ok:
+            result["degraded"] = True
+            result["note"] = ("labels lost on device (see splat.py "
+                              "subnormal note)")
+
+    # single-frame LATENCY: block after every frame (pays the tunnel's
+    # per-dispatch round-trip in full — ~30 ms through the remote runtime
+    # in this environment, unrelated to on-chip time)
+    if not args.quick and remaining() > 45:
+        set_phase("sync latency")
+        nlat = min(args.frames, 10)
+        t0 = time.perf_counter()
+        for i in range(nlat):
+            vs2 = run_frame(window)
+            jax.block_until_ready(vs2.range)
+        lat_ms = (time.perf_counter() - t0) / nlat * 1e3
+        log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
+        result["sync_latency_ms"] = round(lat_ms, 1)
 
     # per-cause miss accounting (untimed; VERDICT r1 weak #5): every
     # no-data pixel attributed to out-of-source-FOV / empty direction /
     # outside volume bounds / genuine synthesis miss
-    from lidar_transfer_tpu.metrics.diagnostics import miss_decomposition
-    from lidar_transfer_tpu.pipeline.multiscan import merge_window
-    mpts, _, _, mvalid = merge_window(window)
-    dec = miss_decomposition(
-        mpts, mvalid, vs.mask, target_H=target.H, target_W=target.W,
-        t_fov_up=target.fov_up, t_fov_down=target.fov_down,
-        s_fov_up=source.fov_up, s_fov_down=source.fov_down,
-        vol_bounds=cfg.voxel_bounds_array)
-    log("miss decomposition: " + json.dumps(
-        {k: round(v, 4) for k, v in dec.rates().items()}))
+    if not args.quick and remaining() > 40:
+        set_phase("miss decomposition")
+        from lidar_transfer_tpu.metrics.diagnostics import miss_decomposition
+        from lidar_transfer_tpu.pipeline.multiscan import merge_window
+        mpts, _, _, mvalid = merge_window(window)
+        dec = miss_decomposition(
+            mpts, mvalid, vs.mask, target_H=target.H, target_W=target.W,
+            t_fov_up=target.fov_up, t_fov_down=target.fov_down,
+            s_fov_up=source.fov_up, s_fov_down=source.fov_down,
+            vol_bounds=cfg.voxel_bounds_array)
+        log("miss decomposition: " + json.dumps(
+            {k: round(v, 4) for k, v in dec.rates().items()}))
 
     if args.fusion and args.adaption != "mergemesh":
         log("--fusion measures the deferred mergemesh integrate; the mesh "
             "adaption already materializes per scan — skipping")
-    elif args.fusion:
+    elif args.fusion and not args.quick and remaining() > 60:
         # fusion FPS ≡ the reference's printed field (laserscan.py:971-977)
         # — the class-aware integrate at full volume scale (materialized;
         # the transfer itself never reads it and defers this write)
+        set_phase("fusion throughput")
         state = eng.fused_state()       # builds geom + compiles once
         ri, fov_up, fov_down, origin, active = eng._pending_fusion
         geom = eng._ensure_geom(fov_up, fov_down, ri.range.shape[0])
@@ -238,17 +450,20 @@ def main():
         log(f"fusion: {1.0/f_dt:.2f} integrates/s "
             f"({np.prod(eng.vol_dims)/f_dt/1e9:.2f} Gvoxel/s, "
             f"{f_dt*1e3:.1f} ms per full-volume class-aware integrate)")
+        result["fusion_integrates_per_sec"] = round(1.0 / f_dt, 2)
+    elif args.fusion:
+        log("skipping fusion phase (budget/--quick)")
 
-    print(json.dumps({
-        "metric": f"virtual scans/sec/chip (64x2048 -> "
-                  f"{target.H}x{target.W}, "
-                  f"{args.adaption}, "
-                  f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
-                  f"nscans {args.nscans}{stream_note})",
-        "value": round(scans_per_sec, 2),
-        "unit": "scans/sec",
-        "vs_baseline": round(scans_per_sec / 50.0, 3),
-    }))
+    set_phase("done")
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def main():
+    args = parse_args()
+    if os.environ.get("LT_BENCH_INNER") or args.no_supervise:
+        sys.exit(measure(args))
+    sys.exit(supervise(args))
 
 
 if __name__ == "__main__":

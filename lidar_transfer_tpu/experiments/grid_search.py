@@ -107,8 +107,14 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
         n_done = 0
         for idx in indices:
             window = load_window(seq, cfg, idx, capacity)
-            # production throughput path (same body frame_parallel runs)
-            vs = eng.transfer_fast(window)
+            if cfg.adaption == "cp":
+                # exact per-frame cp path (matches the CLI): the fused
+                # _cp_core_fast body re-rounds FMAs and flips ~1.7% of
+                # boundary pixels, silently shifting the quality surface
+                vs, _ = eng.transfer(window)
+            else:
+                # production throughput path (body frame_parallel runs)
+                vs = eng.transfer_fast(window)
             if same_dims:
                 i, a, m_ = _compare_one(seq, eng, cfg, capacity, idx,
                                         vs.range, vs.label, vs.remission)
@@ -182,7 +188,11 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                        # volumes (no per-frame cloud clipping) — quality
                        # surfaces are only comparable within one mode
                        "device_parallel": mesh is not None,
-                       "fixed_bounds": mesh is not None},
+                       "fixed_bounds": mesh is not None,
+                       # cp cells run the exact per-frame transfer();
+                       # everything else runs the fused fast body
+                       "transfer_path": ("exact" if adaption == "cp"
+                                         else "fast")},
               "cells": cells}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

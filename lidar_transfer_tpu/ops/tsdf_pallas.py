@@ -48,6 +48,7 @@ Two geometry modes share the same kernel body:
 
 from __future__ import annotations
 
+import atexit
 import functools
 
 import jax
@@ -446,6 +447,32 @@ def precompute_geometry(spec: VolumeSpec, fov_up_deg, fov_down_deg, H,
         interpret=interpret)
 
 
+def _verify_label_max(arr) -> None:
+    bad = int(arr)                      # blocks until the reduction is ready
+    if bad >= 512:
+        raise ValueError(
+            "integrate_pallas packs label+remission into one f32 column: "
+            f"label ids must be < 512, got {bad}")
+
+
+def drain_label_checks() -> None:
+    """Block on and verify every pending max-label reduction.
+
+    The eager-call polling in ``integrate_pallas`` only inspects checks
+    enqueued by *earlier* calls, so the final integrate(s) of a run are
+    never validated by it.  Call this at a natural sync point (a
+    ``fused_state()`` materialization, bench end; also registered via
+    ``atexit``) to close that window — labels >= 512 then raise instead
+    of silently corrupting labels and remissions.
+    """
+    pending = getattr(integrate_pallas, "_pending_label_checks", None)
+    while pending:
+        _verify_label_max(pending.pop(0))
+
+
+atexit.register(drain_label_checks)
+
+
 def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      rem_im, *, fov_up_deg, fov_down_deg,
                      obs_weight: float = 1.0, origin=None, active_dims=None,
@@ -487,16 +514,16 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
         for arr in pending[:]:
             if arr.is_ready():
                 pending.remove(arr)
-                bad = int(arr)
-                if bad >= 512:
-                    raise ValueError(
-                        "integrate_pallas packs label+remission into one "
-                        f"f32 column: label ids must be < 512, got {bad}")
+                _verify_label_max(arr)
         try:
             mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
             if not isinstance(mx, jax.core.Tracer):
                 pending.append(mx)
-                del pending[:-8]        # bound the queue
+                while len(pending) > 8:
+                    # bound the queue by VERIFYING the oldest entries
+                    # (blocking — under backlog they are ready anyway),
+                    # never by dropping them unchecked
+                    _verify_label_max(pending.pop(0))
         except jax.errors.ConcretizationTypeError:
             pass                        # inside an outer trace
     has_vtab = geom is not None

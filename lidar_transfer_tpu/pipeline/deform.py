@@ -350,6 +350,11 @@ class TransferEngine:
                                 write_weight=False)
         self._keep_state(state)
         self._fused = True
+        # natural sync point: block-verify any pending async label-range
+        # guards from integrate_pallas (labels >= 512 would have silently
+        # corrupted the packed label+remission column)
+        from lidar_transfer_tpu.ops.tsdf_pallas import drain_label_checks
+        drain_label_checks()
         return state
 
     def _rolling_splat_core(self, pts, rem, lbl, valid, R_table, tau_table):

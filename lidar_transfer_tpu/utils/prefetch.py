@@ -66,12 +66,16 @@ class Prefetcher:
 
     def close(self):
         self._closed.set()
-        # drain so the worker's puts can't block forever
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # Drain until the worker exits: a single drain can race with one
+        # in-flight put — the worker then blocks forever on the final
+        # _STOP put into the re-filled queue (leaked thread).
+        while self._worker.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._worker.join(timeout=0.05)
 
     def __enter__(self):
         return self

@@ -14,15 +14,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def range_image_to_torch(ri) -> dict:
+def range_image_to_torch(ri, points=None) -> dict:
     """RangeImage -> dict of torch tensors in the reference's layout:
 
       proj_range     (H,W)    float32
-      proj_xyz       (3,H,W)  float32   (zeros where no data)
+      proj_xyz       (3,H,W)  float32   (zeros where no data; present
+                              only when ``points`` is passed — the
+                              RangeImage doesn't retain point coordinates)
       proj_remission (H,W)    float32
       proj_idx       (H,W)    int64     (-1 where no data)
       proj_mask      (H,W)    float32
       proj_x/proj_y  (H,W)    int64
+
+    ``points``: the (N,3) point array the RangeImage was projected from
+    (padded capacity matching ``ri.index``); per-pixel xyz of the winning
+    point is gathered through ``ri.index`` channel-first, exactly like the
+    reference's ``torch()`` (laserscan.py:511-512).
     """
     import torch
 
@@ -38,6 +45,12 @@ def range_image_to_torch(ri) -> dict:
         "proj_x": torch.from_numpy(np.asarray(ri.u_int, np.int64)),
         "proj_y": torch.from_numpy(np.asarray(ri.v_int, np.int64)),
     }
+    if points is not None:
+        idx = np.asarray(ri.index, np.int64)
+        xyz = np.asarray(points, np.float32)[np.maximum(idx, 0)]
+        xyz[~mask] = 0.0
+        out["proj_xyz"] = torch.from_numpy(
+            np.ascontiguousarray(np.transpose(xyz, (2, 0, 1))))
     return out
 
 

@@ -125,12 +125,26 @@ def test_torch_interop(synthetic_dataset, small_spec):
                          jnp.asarray(m), H=small_spec.H, W=small_spec.W,
                          fov_up_deg=small_spec.fov_up,
                          fov_down_deg=small_spec.fov_down)
-    t = range_image_to_torch(ri)
+    t = range_image_to_torch(ri, points=p)
+    # full reference torch() key set (laserscan.py:503-534)
+    assert set(t) == {"proj_range", "proj_xyz", "proj_remission",
+                      "proj_idx", "proj_mask", "proj_x", "proj_y"}
     assert t["proj_range"].dtype == torch.float32
     assert t["proj_idx"].dtype == torch.int64
     assert t["proj_range"].shape == (small_spec.H, small_spec.W)
     np.testing.assert_allclose(t["proj_range"].numpy(),
                                np.asarray(ri.range))
+    # proj_xyz: channel-first winner coordinates, zeros where no data
+    assert t["proj_xyz"].dtype == torch.float32
+    assert t["proj_xyz"].shape == (3, small_spec.H, small_spec.W)
+    xyz = t["proj_xyz"].numpy()
+    mask = np.asarray(ri.mask)
+    idx = np.asarray(ri.index)
+    np.testing.assert_allclose(
+        np.transpose(xyz, (1, 2, 0))[mask], p[idx[mask]])
+    assert (xyz[:, ~mask] == 0).all()
+    # without points the key is absent (documented), not wrong
+    assert "proj_xyz" not in range_image_to_torch(ri)
 
     from lidar_transfer_tpu.models.rangenet import range_image_features
     xyz = jnp.zeros((small_spec.H, small_spec.W, 3))
