@@ -177,14 +177,25 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "voxel_size", "samples_per_ray"))
+    static_argnames=("dims", "voxel_size", "samples_per_ray",
+                     "label_probe"))
 def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
                   vol_origin, active_dims, dims, voxel_size,
-                  samples_per_ray):
+                  samples_per_ray, label_probe=True):
     """Per source pixel: K positions through the band + volume attributes.
 
     Returns flat arrays of length K * HW: positions (N,3), depth (N,),
     tsdf value, label, remission, valid mask.
+
+    ``label_probe``: True additionally requires label > 0 of every band
+    sample (a K*HW label gather — measured ~39 ms/frame at reference
+    scale over 3 sources); False uses the raymarcher's semantics — band
+    membership is tsdf <= 0 alone, and the label is read once at the
+    CHOSEN sample (it may be 0 for label-0 source pixels, exactly as a
+    raymarcher hit on such a surface would report; the reference's mesh
+    path likewise keeps label-0 surfaces, they ray-occlude and carry
+    label 0 through the color round-trip, laserscan.py:1001-1004).
+    Outputs differ only at rays whose surface came from a label-0 pixel.
     """
     X, Y, Z = dims
     K = samples_per_ray
@@ -222,12 +233,14 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     # (ops/gather.py) — these three fetches were ~60% of the mesh
     # adaption's frame time
     tsdf_v = lane_pick(tsdf.reshape(-1), flat).astype(jnp.float32)
-    label_v = lane_pick(label.reshape(-1), flat).astype(jnp.int32)
 
-    # a usable sample: inside the (cropped) volume, in the written band
-    # (tsdf <= 0 — integrate only writes dist<0 voxels on first touch),
-    # and carrying a real label
-    ok = valid & inside & (tsdf_v <= 0.0) & (label_v > 0)
+    # a usable sample: inside the (cropped) volume and in the written band
+    # (tsdf <= 0 — integrate only writes dist<0 voxels on first touch);
+    # with label_probe it must additionally carry a real label
+    ok = valid & inside & (tsdf_v <= 0.0)
+    if label_probe:
+        label_v = lane_pick(label.reshape(-1), flat).astype(jnp.int32)
+        ok = ok & (label_v > 0)
 
     # collapse K samples -> ONE candidate per ray (the image path's
     # min-over-partition argument, _band_samples_image: all K samples of
@@ -254,8 +267,12 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
 
     t_c = pick(t)
     tsdf_c = pick(tsdf_v)
-    label_c = pick(label_v)
     flat_c = pick(flat)
+    if label_probe:
+        label_c = pick(label_v)
+    else:
+        # one label fetch at the chosen sample only (HW, not K*HW)
+        label_c = lane_pick(label.reshape(-1), flat_c).astype(jnp.int32)
     pos_c = dirs * t_c[:, None]
     rem_c = lane_pick(rem.reshape(-1), flat_c).astype(jnp.float32)
     return pos_c, t_c, tsdf_c, label_c, rem_c, found
@@ -265,7 +282,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                      target_H: int, target_W: int,
                      fov_up_deg: float, fov_down_deg: float,
                      vol_origin, active_dims=None, beam_angles=None,
-                     samples_per_ray: int = 8, attrs: str = "auto"):
+                     samples_per_ray: int = 8, attrs: str = "auto",
+                     label_probe: bool = True):
     """Synthesize a target-spec virtual scan from the fused volume.
 
     Args:
@@ -279,6 +297,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         (exact class-aware semantics); "image" derives them from the
         source pixel (zero volume gathers — exact when a single image was
         fused); "auto" picks image iff len(sources) == 1.
+      label_probe: volume path only — see ``_band_samples`` (False =
+        raymarcher label-0 semantics, drops the K-sample label gather).
 
     Returns a RangeImage-like tuple:
       (range (H,W), label (H,W), remission (H,W), endpoints (H,W,3),
@@ -304,7 +324,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
             _band_samples(state.tsdf, state.label, state.rem, r, p, v,
                           vol_origin, active_f, dims=spec.dims,
                           voxel_size=spec.voxel_size,
-                          samples_per_ray=samples_per_ray)
+                          samples_per_ray=samples_per_ray,
+                          label_probe=label_probe)
             for (r, p, v, _, _) in sources
         ]
     pos = jnp.concatenate([a[0] for a in parts])

@@ -84,23 +84,30 @@ def _atan_poly(x):
 
 def _kernel(params_ref, *all_refs,
             Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab,
-            write_weight, fused_cols):
+            write_weight, fused_cols, S=1):
     """One grid step: update BX x-planes' (y-tile) slabs of the volume.
 
-    all_refs = col refs (1 fused (BX,R,2CW) ref when ``fused_cols`` —
-    depth in lanes [0,CW), packed label+rem in [CW,2CW) — else 2 separate
-    (BX,R,128) refs) + ([v_ref] if has_vtab) + 4 state-in refs + 4-or-3
-    state-out refs (forwarded untouched to _kernel_plane, which unpacks
-    them; weight has no out ref when write_weight is False).
+    all_refs = S scans' col refs (per scan: 1 fused (BX,R,2CW) ref when
+    ``fused_cols`` — depth in lanes [0,CW), packed label+rem in [CW,2CW)
+    — else 2 separate (BX,R,128) refs) + ([v_ref] if has_vtab) + 4
+    state-in refs + 4-or-3 state-out refs (forwarded untouched to
+    _kernel_plane, which unpacks them; weight has no out ref when
+    write_weight is False).
     BX > 1 amortizes the per-grid-step overhead (~20 us each through the
     remote runtime) over more voxels; bounded by VMEM.
+    S > 1 = the fused CHAIN: S sequential class-aware integrates of the
+    same volume applied in registers with ONE state write — exactly
+    equivalent to S chained calls (reset on the first), at 1/S the state
+    HBM traffic (the mesh adaption's per-scan loop, laserscan.py:863-918).
     """
+    ncol = S if fused_cols else 2 * S
+    col_refs = all_refs[:ncol]
+    refs = all_refs[ncol:]
     if fused_cols:
-        dcol_ref, lrcol_ref = all_refs[0], None
-        refs = all_refs[1:]
+        scan_cols = tuple((r, None) for r in col_refs)
     else:
-        dcol_ref, lrcol_ref = all_refs[0], all_refs[1]
-        refs = all_refs[2:]
+        scan_cols = tuple((col_refs[2 * s], col_refs[2 * s + 1])
+                          for s in range(S))
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
     oz = params_ref[0, 2]
@@ -117,14 +124,14 @@ def _kernel(params_ref, *all_refs,
           ).astype(jnp.float32)
 
     for bx in range(BX):
-        _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx,
+        _kernel_plane(params_ref, scan_cols, refs, bx,
                       gy, ox, oy, oz, fov_up, fov_down, fov, obs_w,
                       ax, ay, az, Y=Y, Z=Z, H=H, CW=CW, R=R, BX=BX,
                       voxel_size=voxel_size, trunc=trunc, reset=reset,
                       has_vtab=has_vtab, write_weight=write_weight)
 
 
-def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
+def _kernel_plane(params_ref, scan_cols, refs, bx, gy,
                   ox, oy, oz, fov_up, fov_down, fov, obs_w, ax, ay, az,
                   *, Y, Z, H, CW, R, BX, voxel_size, trunc, reset,
                   has_vtab, write_weight):
@@ -148,8 +155,8 @@ def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
     # [0,64) hold the depth column and [64,128) the packed label+rem
     # column; take_along_axis picks row v from the depth half and v+CW
     # from the packed half of the SAME operand.
-    dcol = dcol_ref[bx]
-    lrcol = lrcol_ref[bx] if lrcol_ref is not None else None
+    cols = [(d[bx], lr[bx] if lr is not None else None)
+            for d, lr in scan_cols]
 
     for zc in range(0, Z, _PW):
         width = min(_PW, Z - zc)
@@ -175,57 +182,59 @@ def _kernel_plane(params_ref, dcol_ref, lrcol_ref, refs, bx, gy,
             vf = (1.0 - (pitch + jnp.abs(fov_down)) / fov) * H
             v = jnp.clip(jnp.floor(vf), 0, H - 1).astype(jnp.int32)
 
-        depth_val = jnp.take_along_axis(dcol, v, axis=1)
-        if lrcol is None:
-            lr = jnp.take_along_axis(dcol, v + CW, axis=1)
-        else:
-            lr = jnp.take_along_axis(lrcol, v, axis=1)
-        new_label = jnp.floor(lr * (1.0 / 16384.0))
-        new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
-
-        diff = depth_val - depth
-        dist = jnp.minimum(1.0, diff / trunc)
-        active = (in_crop_xy & (gz < az) & in_fov & (depth_val > 0.0)
-                  & (diff >= -trunc))
+        base_active = in_crop_xy & (gz < az) & in_fov
 
         if reset:
-            tsdf_f = jnp.float32(1.0)
-            weight_f = jnp.float32(0.0)
-            rem_f = jnp.float32(0.0)
-            label_f = jnp.float32(0.0)
+            tsdf_f = jnp.zeros((R, _PW), jnp.float32) + 1.0
+            weight_f = jnp.zeros((R, _PW), jnp.float32)
+            rem_f = jnp.zeros((R, _PW), jnp.float32)
+            label_f = jnp.zeros((R, _PW), jnp.float32)
         else:
             tsdf_f = load(tsdf_ref).astype(jnp.float32)
             weight_f = load(w_ref).astype(jnp.float32)
             rem_f = load(rem_ref).astype(jnp.float32)
             label_f = load(lab_ref).astype(jnp.float32)
 
-        # the reference's class-aware rule (fusion_lidar.py:191-228);
-        # label ids compared as f32 (ids <= 259, exact)
-        same = label_f == new_label
-        w_new = weight_f + obs_w
-        tsdf_avg = (tsdf_f * weight_f + dist) / w_new
-        rem_avg = (rem_f * weight_f + new_rem) / w_new
-        closer = dist < weight_f
+        for dcol, lrcol in cols:
+            depth_val = jnp.take_along_axis(dcol, v, axis=1)
+            if lrcol is None:
+                lr = jnp.take_along_axis(dcol, v + CW, axis=1)
+            else:
+                lr = jnp.take_along_axis(lrcol, v, axis=1)
+            new_label = jnp.floor(lr * (1.0 / 16384.0))
+            new_rem = (lr - new_label * 16384.0) * (1.0 / 16383.0)
 
-        upd_same = active & same
-        upd_diff = active & (~same) & closer
+            diff = depth_val - depth
+            dist = jnp.minimum(1.0, diff / trunc)
+            active = base_active & (depth_val > 0.0) & (diff >= -trunc)
 
-        new_tsdf = jnp.where(upd_same, tsdf_avg,
-                             jnp.where(upd_diff, dist, tsdf_f))
-        new_lab = jnp.where(upd_diff, new_label, label_f)
-        new_remv = jnp.where(upd_same, rem_avg,
-                             jnp.where(upd_diff, new_rem, rem_f))
+            # the reference's class-aware rule (fusion_lidar.py:191-228);
+            # label ids compared as f32 (ids <= 259, exact)
+            same = label_f == new_label
+            w_new = weight_f + obs_w
+            tsdf_avg = (tsdf_f * weight_f + dist) / w_new
+            rem_avg = (rem_f * weight_f + new_rem) / w_new
+            closer = dist < weight_f
+
+            upd_same = active & same
+            upd_diff = active & (~same) & closer
+
+            tsdf_f = jnp.where(upd_same, tsdf_avg,
+                               jnp.where(upd_diff, dist, tsdf_f))
+            label_f = jnp.where(upd_diff, new_label, label_f)
+            rem_f = jnp.where(upd_same, rem_avg,
+                              jnp.where(upd_diff, new_rem, rem_f))
+            weight_f = jnp.where(upd_same, w_new, weight_f)
 
         out_tsdf[bx, :, zc:zc + width] = \
-            new_tsdf[:, :width].astype(out_tsdf.dtype)
+            tsdf_f[:, :width].astype(out_tsdf.dtype)
         if write_weight:
-            new_w = jnp.where(upd_same, w_new, weight_f)
             out_w[bx, :, zc:zc + width] = \
-                new_w[:, :width].astype(out_w.dtype)
+                weight_f[:, :width].astype(out_w.dtype)
         out_lab[bx, :, zc:zc + width] = \
-            new_lab[:, :width].astype(out_lab.dtype)
+            label_f[:, :width].astype(out_lab.dtype)
         out_rem[bx, :, zc:zc + width] = \
-            new_remv[:, :width].astype(out_rem.dtype)
+            rem_f[:, :width].astype(out_rem.dtype)
 
 
 def _geom_kernel(params_ref, v_out, *, Z, H, R, voxel_size):
@@ -347,14 +356,18 @@ def _build_cols_impl(depth_im, label_im, rem_im, origin,
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "voxel_size", "H", "reset", "has_vtab",
-                     "write_weight", "interpret"),
+                     "write_weight", "interpret", "S"),
     donate_argnums=(0,))
 def _integrate_kernel_impl(state: TSDFState, col_args,
                            fov_up_deg, fov_down_deg, obs_weight,
                            origin, active_dims, v_tab,
                            dims, voxel_size, H, reset, has_vtab,
-                           write_weight, interpret):
-    """Stage 2: the Pallas kernel over the volume, fed materialized cols."""
+                           write_weight, interpret, S=1):
+    """Stage 2: the Pallas kernel over the volume, fed materialized cols.
+
+    ``S`` > 1: col_args holds S scans' cols (flattened, in scan order) and
+    the kernel applies the S observations sequentially in registers with
+    one state read/write — the fused chain (see _kernel)."""
     X, Y, Z = dims
     CW = _col_width(H)
     BY = min(Y, 1024)
@@ -374,7 +387,7 @@ def _integrate_kernel_impl(state: TSDFState, col_args,
         _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
         reset=reset, has_vtab=has_vtab, write_weight=write_weight,
-        fused_cols=len(col_args) == 1)
+        fused_cols=len(col_args) == S, S=S)
 
     vtab_specs = [state_spec] if has_vtab else []
     vtab_args = (v_tab,) if has_vtab else ()
@@ -473,6 +486,33 @@ def drain_label_checks() -> None:
 atexit.register(drain_label_checks)
 
 
+def _enqueue_label_check(depth_im, label_im) -> None:
+    """Enqueue an async max-label guard for the packed f32 column (exact
+    only for ids < 512) — see the comment at the integrate_pallas call
+    site; drained by ``drain_label_checks``."""
+    if isinstance(label_im, jax.core.Tracer):
+        return
+    pending = getattr(integrate_pallas, "_pending_label_checks", None)
+    if pending is None:
+        pending = []
+        integrate_pallas._pending_label_checks = pending
+    for arr in pending[:]:
+        if arr.is_ready():
+            pending.remove(arr)
+            _verify_label_max(arr)
+    try:
+        mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
+        if not isinstance(mx, jax.core.Tracer):
+            pending.append(mx)
+            while len(pending) > 8:
+                # bound the queue by VERIFYING the oldest entries
+                # (blocking — under backlog they are ready anyway),
+                # never by dropping them unchecked
+                _verify_label_max(pending.pop(0))
+    except jax.errors.ConcretizationTypeError:
+        pass                            # inside an outer trace
+
+
 def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
                      rem_im, *, fov_up_deg, fov_down_deg,
                      obs_weight: float = 1.0, origin=None, active_dims=None,
@@ -506,26 +546,7 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
     # enqueues its max-label reduction and inspects previously enqueued
     # ones that have become ready — a violation raises within a frame or
     # two, with zero added synchronization.
-    if not isinstance(label_im, jax.core.Tracer):
-        pending = getattr(integrate_pallas, "_pending_label_checks", None)
-        if pending is None:
-            pending = []
-            integrate_pallas._pending_label_checks = pending
-        for arr in pending[:]:
-            if arr.is_ready():
-                pending.remove(arr)
-                _verify_label_max(arr)
-        try:
-            mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
-            if not isinstance(mx, jax.core.Tracer):
-                pending.append(mx)
-                while len(pending) > 8:
-                    # bound the queue by VERIFYING the oldest entries
-                    # (blocking — under backlog they are ready anyway),
-                    # never by dropping them unchecked
-                    _verify_label_max(pending.pop(0))
-        except jax.errors.ConcretizationTypeError:
-            pass                        # inside an outer trace
+    _enqueue_label_check(depth_im, label_im)
     has_vtab = geom is not None
     v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
     # two pipelined dispatches when called eagerly — see _build_cols_impl
@@ -542,3 +563,52 @@ def integrate_pallas(state: TSDFState, spec: VolumeSpec, depth_im, label_im,
         dims=spec.dims, voxel_size=spec.voxel_size, H=H,
         reset=reset, has_vtab=has_vtab, write_weight=write_weight,
         interpret=interpret)
+
+
+def integrate_pallas_chain(state: TSDFState, spec: VolumeSpec,
+                           depth_ims, label_ims, rem_ims, *,
+                           fov_up_deg, fov_down_deg,
+                           obs_weight: float = 1.0, origin=None,
+                           active_dims=None, geom=None,
+                           write_weight: bool = True,
+                           interpret: bool = False) -> TSDFState:
+    """Fused S-scan chained integrate: equivalent to S sequential
+    ``integrate_pallas`` calls with ``reset`` on the first (the mesh
+    adaption's per-scan loop, laserscan.py:863-918), at ~1/S the state
+    HBM traffic — the S observations apply in VPU registers with one
+    final state write. Bit-exact vs the sequential chain for f32 states;
+    for compact (bf16) states the fused chain is strictly MORE precise
+    (no intermediate bf16 rounding between scans).
+
+    ``depth_ims``/``label_ims``/``rem_ims``: (S, H, W) stacks, all
+    integrated with the same fov/origin (the mesh adaption's invariant —
+    every scan is re-projected into the primary sensor frame first).
+    """
+    S, H, W = depth_ims.shape
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    if active_dims is None:
+        active_dims = jnp.asarray(spec.dims, jnp.int32)
+    if not supports(spec, H):
+        raise ValueError(
+            f"unsupported dims {spec.dims} / H {H} for the pallas "
+            "integrate (need H<=128, Y % min(Y,1024) == 0)")
+    _enqueue_label_check(depth_ims, label_ims)
+    has_vtab = geom is not None
+    v_tab = geom if has_vtab else jnp.zeros((), jnp.int8)
+    # one col-build dispatch per scan + one kernel dispatch — all
+    # pipelined when called eagerly (see _build_cols_impl)
+    cols = []
+    for s in range(S):
+        cols.extend(_build_cols_impl(
+            depth_ims[s], label_ims[s].astype(jnp.int32), rem_ims[s],
+            jnp.asarray(origin, jnp.float32),
+            dims=spec.dims, voxel_size=spec.voxel_size, H=H, W=W))
+    return _integrate_kernel_impl(
+        state, tuple(cols),
+        jnp.float32(fov_up_deg), jnp.float32(fov_down_deg),
+        jnp.float32(obs_weight), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(active_dims, jnp.float32), v_tab,
+        dims=spec.dims, voxel_size=spec.voxel_size, H=H,
+        reset=True, has_vtab=has_vtab, write_weight=write_weight,
+        interpret=interpret, S=S)

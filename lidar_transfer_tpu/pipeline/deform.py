@@ -105,6 +105,15 @@ class TransferEngine:
     # integrated on first demand via ``fused_state()`` (export_mesh,
     # rolling-shutter resynthesis, or any attrs="volume" consumer).
     defer_volume: bool = True
+    # Volume-attrs splat band membership (mesh adaption / attrs="volume"):
+    # True = every K band sample must also carry label > 0 (one extra
+    # K*HW lane_pick per source — ~39 ms/frame over 3 sources at
+    # reference scale); False (default) = the raymarcher's semantics —
+    # band membership is tsdf <= 0 alone and the label is read once at
+    # the chosen sample (label-0 surfaces occlude and report label 0,
+    # matching both ops/raycast.py and the reference's mesh path, which
+    # keeps unlabeled surfaces in the mesh, laserscan.py:1001-1004).
+    band_label_probe: bool = False
 
     def __post_init__(self):
         t = self.target
@@ -272,6 +281,30 @@ class TransferEngine:
             origin=origin, active_dims=active, reset=reset,
             write_weight=write_weight)
 
+    def _integrate_chain(self, state, ris, fov_up, fov_down, origin,
+                         active, geom):
+        """S chained per-scan integrates (reset on the first), fused into
+        ONE kernel pass when the pallas path is eligible: the S
+        observations apply in registers with a single state read/write —
+        ~1/S the state HBM traffic of the sequential loop
+        (≡ laserscan.py:863-918 semantics either way)."""
+        H = ris[0].range.shape[0]
+        if len(ris) > 1 and self._pallas_eligible(H):
+            from lidar_transfer_tpu.ops.tsdf_pallas import (
+                integrate_pallas_chain)
+
+            return integrate_pallas_chain(
+                state, self.vol_spec,
+                jnp.stack([ri.range for ri in ris]),
+                jnp.stack([ri.label for ri in ris]),
+                jnp.stack([ri.remission for ri in ris]),
+                fov_up_deg=fov_up, fov_down_deg=fov_down,
+                origin=origin, active_dims=active, geom=geom)
+        for s, ri in enumerate(ris):
+            state = self._integrate(state, ri, fov_up, fov_down, origin,
+                                    active, reset=(s == 0), geom=geom)
+        return state
+
     def _synthesize(self, state, origin_vol, active, sources,
                     pts, valid) -> VirtualScan:
         """Dispatch to band splatting or the TSDF raymarcher.
@@ -295,7 +328,8 @@ class TransferEngine:
                 fov_up_deg=self.target.fov_up,
                 fov_down_deg=self.target.fov_down,
                 vol_origin=origin_vol, active_dims=active,
-                beam_angles=self.t_beam_angles)
+                beam_angles=self.t_beam_angles,
+                label_probe=self.band_label_probe)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
         return self._raycast(state, origin_vol, pts, valid)
@@ -877,11 +911,9 @@ class TransferEngine:
         flat_pts, ris = proj_jit(window)
         origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
         active = jnp.asarray(self.vol_spec.dims, jnp.int32)
-        state = self._take_state()
-        for s, ri in enumerate(ris):
-            state = self._integrate(state, ri, self.source.fov_up,
-                                    self.source.fov_down, origin, active,
-                                    reset=(s == 0), geom=geom)
+        state = self._integrate_chain(
+            self._take_state(), ris, self.source.fov_up,
+            self.source.fov_down, origin, active, geom)
         flat_valid = window.valid.reshape(-1)
         rng, lbl, rem, ends, mask = synth_jit(state, origin, active, ris,
                                               flat_pts, flat_valid)

@@ -193,3 +193,60 @@ def test_fused_state_without_transfer_raises(small_spec):
     eng = TransferEngine(small_spec, small_spec, cfg, CAP)
     with pytest.raises(RuntimeError, match="no fused volume"):
         eng.fused_state()
+
+
+def test_band_label_probe_semantics(synthetic_dataset, small_spec):
+    """label_probe=False (raymarcher label-0 semantics): identical to
+    label_probe=True when every source pixel is labeled; with injected
+    label-0 pixels their surfaces still occlude and report label 0
+    (probe=True instead drops them from the band entirely)."""
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.ops.splat import splat_synthesize
+    from lidar_transfer_tpu.pipeline.multiscan import merge_window
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    pts, rem, lbl, valid = merge_window(window)
+    ri = P.range_project(pts, rem, lbl, valid, H=small_spec.H,
+                         W=small_spec.W, fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    origin, active = eng._frame_volume(pts, valid)
+    state = eng._integrate(eng._take_state(), ri, small_spec.fov_up,
+                           small_spec.fov_down, origin, active, reset=True)
+    back = P.reverse_project(ri, fov_up_deg=small_spec.fov_up,
+                             fov_down_deg=small_spec.fov_down,
+                             preserve_float=True)
+    srcs = [(ri.range.reshape(-1), back, ri.mask.reshape(-1),
+             ri.label.reshape(-1),
+             jnp.maximum(ri.remission, 0.0).reshape(-1))]
+    kw = dict(target_H=small_spec.H, target_W=small_spec.W,
+              fov_up_deg=small_spec.fov_up,
+              fov_down_deg=small_spec.fov_down,
+              vol_origin=origin, active_dims=active, attrs="volume")
+    a = splat_synthesize(state, eng.vol_spec, srcs, label_probe=True,
+                         **kw)
+    b = splat_synthesize(state, eng.vol_spec, srcs, label_probe=False,
+                         **kw)
+    # synthetic world: every valid pixel is labeled -> identical output
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # zero out some labels in the fused volume: probe=True unsees those
+    # surfaces; probe=False keeps them (occluding, label 0)
+    lbl_vol = np.asarray(state.label)
+    written = np.asarray(state.tsdf) <= 0
+    zx = written & (np.arange(lbl_vol.shape[0])[:, None, None] % 3 == 0)
+    state0 = state._replace(label=jnp.asarray(np.where(zx, 0, lbl_vol)))
+    a0 = splat_synthesize(state0, eng.vol_spec, srcs, label_probe=True,
+                          **kw)
+    b0 = splat_synthesize(state0, eng.vol_spec, srcs, label_probe=False,
+                          **kw)
+    m_a, m_b = np.asarray(a0[4]), np.asarray(b0[4])
+    # probe=False coverage is a superset (tsdf<=0 alone admits more rays)
+    assert (m_b | m_a).sum() == m_b.sum()
+    assert m_b.sum() > m_a.sum()      # the zeroed surfaces still hit
+    # and the extra hits carry label 0
+    extra = m_b & ~m_a
+    assert (np.asarray(b0[1])[extra] == 0).any()

@@ -187,3 +187,83 @@ def test_label_overflow_guard_raises():
             st = integrate_pallas(st, spec, depth, label, rem,
                                   fov_up_deg=8.0, fov_down_deg=-22.0,
                                   interpret=True)
+
+
+def test_pallas_chain_matches_sequential(setup):
+    """integrate_pallas_chain == S sequential integrate_pallas calls
+    (reset on the first) — the mesh adaption's fused per-scan loop."""
+    from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas_chain
+
+    rng, spec, depth, label, rem = setup
+    S = 3
+    depths = np.stack([
+        (rng.uniform(2.0, 14.0, depth.shape)
+         * (rng.random(depth.shape) > 0.2)).astype(np.float32)
+        for _ in range(S)])
+    labels = np.stack([rng.integers(0, 30, depth.shape).astype(np.int32)
+                       for _ in range(S)])
+    rems = np.stack([rng.uniform(0, 1, depth.shape).astype(np.float32)
+                     for _ in range(S)])
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+
+    def fresh():
+        return TS.TSDFState(jnp.ones(spec.dims), jnp.zeros(spec.dims),
+                            jnp.zeros(spec.dims, jnp.int32),
+                            jnp.zeros(spec.dims))
+
+    ref = fresh()
+    for s in range(S):
+        ref = integrate_pallas(
+            ref, spec, jnp.asarray(depths[s]), jnp.asarray(labels[s]),
+            jnp.asarray(rems[s]), reset=(s == 0), interpret=True, **kw)
+
+    out = integrate_pallas_chain(
+        fresh(), spec, jnp.asarray(depths), jnp.asarray(labels),
+        jnp.asarray(rems), interpret=True, **kw)
+    _check(ref, out)
+
+    # geom-table variant agrees too
+    geom = precompute_geometry(spec, 8.0, -22.0, depth.shape[0],
+                               interpret=True)
+    out_g = integrate_pallas_chain(
+        fresh(), spec, jnp.asarray(depths), jnp.asarray(labels),
+        jnp.asarray(rems), geom=geom, interpret=True, **kw)
+    _check(ref, out_g)
+
+    # write_weight=False drops only the weight write
+    slim = integrate_pallas_chain(
+        fresh(), spec, jnp.asarray(depths), jnp.asarray(labels),
+        jnp.asarray(rems), write_weight=False, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(slim.label),
+                                  np.asarray(ref.label))
+    np.testing.assert_allclose(np.asarray(slim.tsdf),
+                               np.asarray(ref.tsdf), atol=1e-5)
+
+
+def test_pallas_chain_compact_tolerance(setup):
+    """Compact (bf16) states: the fused chain keeps f32 registers across
+    scans, so it agrees with the XLA f32 chain within bf16 rounding."""
+    from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas_chain
+
+    rng, spec, depth, label, rem = setup
+    S = 2
+    depths = np.stack([depth, np.roll(depth, 3, axis=1)])
+    labels = np.stack([label, np.roll(label, 3, axis=1)])
+    rems = np.stack([rem, np.roll(rem, 3, axis=1)])
+    kw = dict(fov_up_deg=8.0, fov_down_deg=-22.0)
+
+    ref = TS.TSDFState(jnp.ones(spec.dims), jnp.zeros(spec.dims),
+                       jnp.zeros(spec.dims, jnp.int32),
+                       jnp.zeros(spec.dims))
+    for s in range(S):
+        ref = TS.integrate(ref, spec, jnp.asarray(depths[s]),
+                           jnp.asarray(labels[s]), jnp.asarray(rems[s]),
+                           reset=(s == 0), **kw)
+    out = integrate_pallas_chain(
+        spec.init_state_compact(), spec, jnp.asarray(depths),
+        jnp.asarray(labels), jnp.asarray(rems), interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out.label, np.int32),
+                                  np.asarray(ref.label, np.int32))
+    np.testing.assert_allclose(np.asarray(out.tsdf, np.float32),
+                               np.asarray(ref.tsdf, np.float32),
+                               atol=5e-3)
