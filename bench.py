@@ -252,6 +252,16 @@ def measure(args):
     from lidar_transfer_tpu.pipeline.multiscan import ScanWindow
 
     log(f"devices: {jax.devices()}")
+    # The device->host transfer warmup (25-100 s healthy, 340+ s when the
+    # tunnel is sick — it killed round 2's driver bench) must run BEFORE
+    # any timed phase: until the first transfer initializes the sync
+    # machinery, block_until_ready on this runtime is only an async ACK
+    # (measured: a 30x4096^3 matmul chain "blocked" in 0.1 s pre-warmup,
+    # 47 ms post-warmup) and every timed loop would measure dispatch
+    # rate, not device time. The watchdog + supervisor deadline bound the
+    # damage when the warmup hangs; timed loops additionally FETCH one
+    # element of their final output so the measurement stays honest even
+    # if the barrier semantics change again.
     set_phase("device->host transfer warmup")
     _warm_transfer_path(jnp, np)
 
@@ -320,11 +330,18 @@ def measure(args):
         # under the remote compiler's scalar-gather lowering)
         return eng.transfer_fast(w)
 
+    def sync(x):
+        """Completion barrier that cannot lie: fetch one element of the
+        output (device->host), which orders after all prior device work.
+        block_until_ready alone is an async ACK on some axon runtimes."""
+        jax.block_until_ready(x)
+        np.asarray(jax.device_get(x[:1, :1] if x.ndim >= 2 else x[:1]))
+
     set_phase("compile + warmup")
     t0 = time.perf_counter()
     for _ in range(args.warmup):
         vs = run_frame(window)
-        jax.block_until_ready(vs.range)
+        sync(vs.range)
     log(f"warmup+compile: {time.perf_counter()-t0:.1f}s")
 
     # FIRST NUMBER ASAP — a short pipelined burst so a later hang still
@@ -333,7 +350,7 @@ def measure(args):
     qf = max(4, min(args.frames, 8))
     t0 = time.perf_counter()
     outs = [run_frame(window) for _ in range(qf)]
-    jax.block_until_ready(outs[-1].range)
+    sync(outs[-1].range)
     record(qf / (time.perf_counter() - t0))
 
     # THROUGHPUT: stream frames asynchronously — issue all, sync once.
@@ -344,13 +361,12 @@ def measure(args):
     rays = target.H * target.W
     t0 = time.perf_counter()
     outs = [run_frame(window) for _ in range(args.frames)]
-    jax.block_until_ready(outs[-1].range)
+    sync(outs[-1].range)
     dt = time.perf_counter() - t0
     vs = outs[-1]
     scans_per_sec = args.frames / dt
     log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
-        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized, "
-        f"hit rate {np.asarray(vs.mask).mean():.3f}")
+        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized")
     record(scans_per_sec)
 
     # STREAMED throughput (the headline with --stream F): F frames per
@@ -364,18 +380,17 @@ def measure(args):
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (F,) + x.shape), window)
         sv = eng.transfer_stream(stacked)          # compile
-        jax.block_until_ready(sv.range)
+        sync(sv.range)
         # ≥3 pipelined batches so one batch's launch/sync can't dominate
         n_batches = max(3, args.frames // F)
         t0 = time.perf_counter()
         souts = [eng.transfer_stream(stacked) for _ in range(n_batches)]
-        jax.block_until_ready(souts[-1].range)
+        sync(souts[-1].range)
         s_dt = time.perf_counter() - t0
         s_sps = n_batches * F / s_dt
         log(f"{n_batches}x{F} streamed frames in {s_dt:.2f}s -> "
             f"{s_sps:.2f} scans/s, "
-            f"{s_sps*rays/1e6:.1f} Mrays/s synthesized, "
-            f"hit rate {np.asarray(sv.mask[-1]).mean():.3f}")
+            f"{s_sps*rays/1e6:.1f} Mrays/s synthesized")
         record(s_sps, note=f", stream {F}")
     elif args.stream > 0:
         log("skipping streamed phase (budget)")
@@ -384,8 +399,10 @@ def measure(args):
     # candidates require label>0) — catches TPU-only data corruption the
     # CPU tests can't (e.g. subnormal-flush of bitcast label bits).
     # Recorded in the JSON (and echoed); never blocks the number.
-    set_phase("label-fill check")
+    set_phase("hit-rate + label-fill check")
     hitm = np.asarray(vs.mask)
+    log(f"hit rate {hitm.mean():.3f}")
+    result["hit_rate"] = round(float(hitm.mean()), 4)
     label_ok = True
     if hitm.any():
         lbl_fill = float((np.asarray(vs.label)[hitm] > 0).mean())
@@ -406,7 +423,7 @@ def measure(args):
         t0 = time.perf_counter()
         for i in range(nlat):
             vs2 = run_frame(window)
-            jax.block_until_ready(vs2.range)
+            sync(vs2.range)
         lat_ms = (time.perf_counter() - t0) / nlat * 1e3
         log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
         result["sync_latency_ms"] = round(lat_ms, 1)

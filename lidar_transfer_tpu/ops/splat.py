@@ -176,6 +176,110 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("dims", "voxel_size", "samples_per_ray"))
+def _band_samples_fold(rng_s, pts_s, valid_s, label_s, rem_s,
+                       vol_origin, active_dims, dims, voxel_size,
+                       samples_per_ray):
+    """Volume-FREE band candidates with EXACT class-aware collision
+    semantics for S fused images on a shared grid (the mesh adaption).
+
+    Key structural fact: the mesh adaption projects every scan into the
+    SAME spherical grid (source spec, primary-frame origin —
+    laserscan.py:875-879), so a voxel's image pixel (u, v) is identical
+    for all S integrates. The class-aware fold the volume would hold at
+    any band sample is therefore a function of the S images AT THE
+    SAMPLE'S OWN SOURCE PIXEL: fold the reference update rule
+    (fusion_lidar.py:191-228, including the weight-as-dist quirk) over
+    the S aligned observations elementwise. No volume is read or even
+    written — this generalizes the mergemesh deferred-volume design
+    (``_band_samples_image`` is exactly the S == 1 case) to per-scan
+    fusion, replacing ~6 K*HW lane_pick gathers (~100 ms/frame at
+    reference scale) with ~60M VPU flops (~1 ms).
+
+    Deviation vs the materialized-volume probe (``_band_samples``): the
+    fold evaluates the CONTINUOUS field at the sample's ray distance
+    instead of the voxel-center-quantized value at round(pos/voxel), so
+    band boundaries can shift by up to half a voxel and pixel-boundary
+    voxels may fold a neighboring column — the same sub-voxel class of
+    deviation the zero-crossing correction already accepts, and it
+    matches the reference's own CPU/GPU paths more closely (they too
+    evaluate diff at the exact voxel distance, not a quantized one).
+
+    Args: (S, HW) stacks of range/valid/label/rem and (S, HW, 3) points
+    per fused image. Returns flat (S*HW,) candidate arrays like
+    ``_band_samples``.
+    """
+    S, HW = rng_s.shape
+    K = samples_per_ray
+    vox = jnp.float32(voxel_size)
+    trunc = vox * 5.0
+    step = vox * 0.5
+
+    safe = jnp.maximum(rng_s, 1e-6)
+    dirs = pts_s / safe[..., None]                        # (S, HW, 3)
+    k = (jnp.arange(K, dtype=jnp.float32) + 0.5) * step
+    t = rng_s[None] + k[:, None, None]                    # (K, S, HW)
+    pos = dirs[None] * t[..., None]                       # (K, S, HW, 3)
+    gi = jnp.round((pos - vol_origin) / vox).astype(jnp.int32)
+    inside = ((gi[..., 0] >= 0) & (gi[..., 0] < active_dims[0]) &
+              (gi[..., 1] >= 0) & (gi[..., 1] < active_dims[1]) &
+              (gi[..., 2] >= 0) & (gi[..., 2] < active_dims[2]))
+
+    # fold the reference's class-aware rule over the S observers, in
+    # integrate order — identical arithmetic to the Pallas kernel
+    # (ops/tsdf_pallas._kernel_plane), f32 throughout
+    tsdf_f = jnp.ones_like(t)
+    weight_f = jnp.zeros_like(t)
+    label_f = jnp.zeros_like(t)
+    rem_f = jnp.zeros_like(t)
+    for sp in range(S):
+        depth_val = rng_s[sp]                             # (HW,)
+        new_label = label_s[sp].astype(jnp.float32)
+        new_rem = rem_s[sp]
+        obs_ok = valid_s[sp] & (depth_val > 0.0)
+        diff = depth_val - t                              # (K, S, HW)
+        dist = jnp.minimum(1.0, diff / trunc)
+        active = obs_ok & (diff >= -trunc)
+
+        same = label_f == new_label
+        w_new = weight_f + 1.0
+        tsdf_avg = (tsdf_f * weight_f + dist) / w_new
+        rem_avg = (rem_f * weight_f + new_rem) / w_new
+        closer = dist < weight_f
+        upd_same = active & same
+        upd_diff = active & (~same) & closer
+        tsdf_f = jnp.where(upd_same, tsdf_avg,
+                           jnp.where(upd_diff, dist, tsdf_f))
+        label_f = jnp.where(upd_diff, new_label, label_f)
+        rem_f = jnp.where(upd_same, rem_avg,
+                          jnp.where(upd_diff, new_rem, rem_f))
+        weight_f = jnp.where(upd_same, w_new, weight_f)
+
+    # usable sample: spawner-valid, in the (cropped) volume, in the
+    # folded written band (tsdf <= 0; raymarcher label-0 semantics —
+    # the label is whatever the fold left, possibly 0)
+    ok = valid_s[None] & inside & (tsdf_f <= 0.0)
+
+    # first usable k per (scan, ray) — the min-over-partition collapse
+    kmin = jnp.argmax(ok, axis=0)                         # (S, HW)
+    found = jnp.any(ok, axis=0)
+    selm = (jax.lax.broadcasted_iota(jnp.int32, (K, S, HW), 0)
+            == kmin[None])
+
+    def pick(a):
+        return jnp.sum(jnp.where(selm, a, jnp.zeros((), a.dtype)), axis=0)
+
+    t_c = pick(t)
+    tsdf_c = pick(tsdf_f)
+    label_c = pick(label_f)
+    rem_c = pick(rem_f)
+    pos_c = dirs * t_c[..., None]
+    return (pos_c.reshape(-1, 3), t_c.reshape(-1), tsdf_c.reshape(-1),
+            label_c.astype(jnp.int32).reshape(-1), rem_c.reshape(-1),
+            found.reshape(-1))
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("dims", "voxel_size", "samples_per_ray",
                      "label_probe"))
@@ -294,9 +398,13 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
       target_*: target sensor grid/fov.
       vol_origin / active_dims: the volume placement used at integrate.
       attrs: "volume" gathers sample attributes from the fused volume
-        (exact class-aware semantics); "image" derives them from the
-        source pixel (zero volume gathers — exact when a single image was
-        fused); "auto" picks image iff len(sources) == 1.
+        (voxel-quantized class-aware semantics); "image" derives them
+        from the source pixel (zero volume gathers — exact when a single
+        image was fused); "fold" computes the class-aware collision fold
+        from the S aligned images elementwise (zero gathers, valid
+        whenever all sources share the projection grid/origin — the mesh
+        adaption; see ``_band_samples_fold``); "auto" picks image iff
+        len(sources) == 1 else fold.
       label_probe: volume path only — see ``_band_samples`` (False =
         raymarcher label-0 semantics, drops the K-sample label gather).
 
@@ -309,7 +417,7 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
     vol_origin = jnp.asarray(vol_origin, jnp.float32)
     active_f = jnp.asarray(active_dims, jnp.float32)
     if attrs == "auto":
-        attrs = "image" if len(sources) == 1 else "volume"
+        attrs = "image" if len(sources) == 1 else "fold"
 
     if attrs == "image":
         parts = [
@@ -319,6 +427,16 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                                 samples_per_ray=samples_per_ray)
             for (r, p, v, lf, rf) in sources
         ]
+    elif attrs == "fold":
+        parts = [_band_samples_fold(
+            jnp.stack([r for (r, _, _, _, _) in sources]),
+            jnp.stack([p for (_, p, _, _, _) in sources]),
+            jnp.stack([v for (_, _, v, _, _) in sources]),
+            jnp.stack([lf for (_, _, _, lf, _) in sources]),
+            jnp.stack([rf for (_, _, _, _, rf) in sources]),
+            vol_origin, active_f, dims=spec.dims,
+            voxel_size=spec.voxel_size,
+            samples_per_ray=samples_per_ray)]
     else:
         parts = [
             _band_samples(state.tsdf, state.label, state.rem, r, p, v,

@@ -114,6 +114,13 @@ class TransferEngine:
     # matching both ops/raycast.py and the reference's mesh path, which
     # keeps unlabeled surfaces in the mesh, laserscan.py:1001-1004).
     band_label_probe: bool = False
+    # Multi-source band attributes for the mesh adaption: "fold"
+    # (default) computes the class-aware collision fold from the S
+    # aligned images elementwise (ops/splat._band_samples_fold — zero
+    # volume reads, so the per-scan integrates DEFER off the hot path
+    # exactly like mergemesh's); "volume" materializes the chain and
+    # probes it (voxel-quantized semantics, ~6 K*HW gathers/frame).
+    mesh_attrs: str = "fold"
 
     def __post_init__(self):
         t = self.target
@@ -322,13 +329,14 @@ class TransferEngine:
                 srcs.append((ri.range.reshape(-1), back,
                              ri.mask.reshape(-1), ri.label.reshape(-1),
                              jnp.maximum(ri.remission, 0.0).reshape(-1)))
+            attrs = "auto" if len(sources) == 1 else self.mesh_attrs
             rng, lbl, rem, ends, mask = splat_synthesize(
                 state, self.vol_spec, srcs,
                 target_H=self.target.H, target_W=self.target.W,
                 fov_up_deg=self.target.fov_up,
                 fov_down_deg=self.target.fov_down,
                 vol_origin=origin_vol, active_dims=active,
-                beam_angles=self.t_beam_angles,
+                beam_angles=self.t_beam_angles, attrs=attrs,
                 label_probe=self.band_label_probe)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
@@ -339,6 +347,13 @@ class TransferEngine:
         """Deferral applies only where the volume is provably unread:
         splat synthesis with a single fused image (mergemesh)."""
         return self.defer_volume and self.synthesis == "splat"
+
+    def _defer_mesh_active(self) -> bool:
+        """Mesh-adaption deferral: the fold synthesis computes the
+        class-aware collision semantics from the aligned images, so the
+        chained integrates are provably unread too."""
+        return (self.defer_volume and self.synthesis == "splat"
+                and self.mesh_attrs == "fold")
 
     def fused_state(self) -> TS.TSDFState:
         """The fused TSDF volume of the last transferred frame.
@@ -360,6 +375,39 @@ class TransferEngine:
             if w is None:
                 raise RuntimeError("no fused volume yet — run a "
                                    "mesh/mergemesh transfer first")
+            nstream = getattr(self, "_stream_stash", None)
+            if nstream is not None:
+                import warnings
+
+                warnings.warn(
+                    f"fused_state() after transfer_stream refers to the "
+                    f"LAST of the {nstream} streamed frames (the stream "
+                    "stashes only that frame for lazy volume consumers); "
+                    "call transfer_fast(frame) first if you need another "
+                    "frame's volume", stacklevel=2)
+            if getattr(self, "_pending_mode", "mergemesh") == "mesh":
+                # per-scan chain, ≡ the eager mesh path's integrates
+                proj_jit, _ = self._mesh_stage_jits()
+                flat_pts, ris = proj_jit(w)
+                origin, active = getattr(
+                    self, "_pending_origin", None) or self._frame_volume(
+                        flat_pts, w.valid.reshape(-1))
+                geom = self._ensure_geom(self.source.fov_up,
+                                         self.source.fov_down,
+                                         self.source.H)
+                state = self._integrate_chain(
+                    self._take_state(), ris, self.source.fov_up,
+                    self.source.fov_down, origin, active, geom)
+                self._keep_state(state)
+                self._fused = True
+                self._last_origin = origin
+                self._last_sources = tuple(
+                    (ri, self.source.fov_up, self.source.fov_down)
+                    for ri in ris)
+                from lidar_transfer_tpu.ops.tsdf_pallas import (
+                    drain_label_checks)
+                drain_label_checks()
+                return state
             # transfer_fast stashed only the window (its frame program
             # never builds the RangeImage); project it now, off the hot
             # path, exactly as _mergemesh_core_deferred would have
@@ -755,6 +803,8 @@ class TransferEngine:
         rng, lbl, rem, ends, mask, origin = out
         self._pending_fusion = None
         self._pending_window = window
+        self._pending_mode = "mergemesh"
+        self._stream_stash = None
         self._fused = False
         self._last_origin = origin
         return VirtualScan(range=rng, label=lbl, remission=rem,
@@ -818,7 +868,9 @@ class TransferEngine:
         rng, lbl, rem, ends, mask = fn(windows)
         self._pending_fusion = None
         self._pending_window = jax.tree.map(lambda x: x[-1], windows)
+        self._pending_mode = "mergemesh"
         self._fused = False
+        self._stream_stash = windows.points.shape[0]
         self._last_origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
         return VirtualScan(range=rng, label=lbl, remission=rem,
                            points=ends, mask=mask, adaption="mergemesh")
@@ -883,13 +935,38 @@ class TransferEngine:
         """Per-scan TSDF adaption ≡ laserscan.py:863-918: each scan gets
         its own range image at the SOURCE spec, integrated sequentially.
 
-        Staged dispatch, not one whole-frame jit: the remote compiler
-        lowers the integrate's column gather ~5x slower when it shares a
-        program with the pallas kernel (ops/tsdf_pallas.py docstring), so
-        the frame runs as [projection jit] -> nscans x [eager 2-stage
-        integrate] -> [synthesis jit]. The dispatches pipeline; device
-        work is serialized either way.
+        With ``mesh_attrs="fold"`` (default) the integrates DEFER off the
+        hot path entirely — the fold synthesis reproduces the class-aware
+        collision semantics from the aligned images
+        (ops/splat._band_samples_fold), and ``fused_state()``
+        materializes the chained volume on demand
+        (ops/tsdf_pallas.integrate_pallas_chain).
+
+        Otherwise: staged dispatch, not one whole-frame jit — the remote
+        compiler lowers the integrate's column gather ~5x slower when it
+        shares a program with the pallas kernel (ops/tsdf_pallas.py
+        docstring), so the frame runs as [projection jit] -> nscans x
+        [eager 2-stage integrate] -> [synthesis jit]. The dispatches
+        pipeline; device work is serialized either way.
         """
+        if self._defer_mesh_active():
+            proj_jit, synth_jit = self._mesh_stage_jits()
+            flat_pts, ris = proj_jit(window)
+            flat_valid = window.valid.reshape(-1)
+            origin, active = self._frame_volume(flat_pts, flat_valid)
+            rng, lbl, rem, ends, mask = synth_jit(
+                None, origin, active, ris, flat_pts, flat_valid)
+            self._pending_fusion = None
+            self._pending_window = window
+            self._pending_mode = "mesh"
+            self._pending_origin = (origin, active)
+            self._stream_stash = None
+            self._fused = False
+            self._last_origin = origin
+            vs = VirtualScan(range=rng, label=lbl, remission=rem,
+                             points=ends, mask=mask, adaption="mesh")
+            return vs, ris[0]
+
         geom = self._ensure_geom(self.source.fov_up, self.source.fov_down,
                                  self.source.H)
         if not self.fixed_bounds:

@@ -250,3 +250,76 @@ def test_band_label_probe_semantics(synthetic_dataset, small_spec):
     # and the extra hits carry label 0
     extra = m_b & ~m_a
     assert (np.asarray(b0[1])[extra] == 0).any()
+
+
+def test_mesh_fold_matches_volume_probe(synthetic_dataset, small_spec):
+    """The fold synthesis (volume-free, deferred integrates) must agree
+    with the materialized volume-probe path on the mesh adaption — same
+    class-collision semantics, sub-voxel geometric deviations only — and
+    fused_state() must materialize the exact same chained volume the
+    eager path builds."""
+    cfg = make_cfg(adaption="mesh", number_of_scans=3)
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    # fixed_bounds: both engines then project through the SAME staged jit
+    # (the eager _mesh_core re-rounds FMAs and flips ~0.007% of boundary
+    # pixels, which would show up as spurious state diffs below)
+    eng_v = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           mesh_attrs="volume", fixed_bounds=True)
+    eng_f = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           fixed_bounds=True)  # fold
+    vs_v, _ = eng_v.transfer(window)
+    vs_f, _ = eng_f.transfer(window)
+    assert not eng_f._fused          # integrates actually deferred
+
+    m_v, m_f = np.asarray(vs_v.mask), np.asarray(vs_f.mask)
+    both = m_v & m_f
+    assert both.sum() > 0.9 * max(m_v.sum(), m_f.sum())
+    lbl_agree = (np.asarray(vs_v.label) == np.asarray(vs_f.label))[both]
+    assert lbl_agree.mean() > 0.97
+    rng_diff = np.abs(np.asarray(vs_v.range) - np.asarray(vs_f.range))[both]
+    assert np.median(rng_diff) < cfg.voxel_size
+
+    # deferred materialization == the eager chain, exactly
+    st_f = eng_f.fused_state()
+    st_v = eng_v.fused_state()
+    np.testing.assert_array_equal(np.asarray(st_f.label),
+                                  np.asarray(st_v.label))
+    np.testing.assert_allclose(np.asarray(st_f.tsdf),
+                               np.asarray(st_v.tsdf), atol=1e-6)
+
+
+def test_fold_single_source_matches_image(synthetic_dataset, small_spec):
+    """S == 1: the fold reduces to the image path (same band, same
+    zero-crossing) up to one-ulp float association differences."""
+    from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.ops.splat import splat_synthesize
+    from lidar_transfer_tpu.pipeline.multiscan import merge_window
+
+    cfg = make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    pts, rem, lbl, valid = merge_window(window)
+    ri = P.range_project(pts, rem, lbl, valid, H=small_spec.H,
+                         W=small_spec.W, fov_up_deg=small_spec.fov_up,
+                         fov_down_deg=small_spec.fov_down)
+    origin, active = eng._frame_volume(pts, valid)
+    back = P.reverse_project(ri, fov_up_deg=small_spec.fov_up,
+                             fov_down_deg=small_spec.fov_down,
+                             preserve_float=True)
+    srcs = [(ri.range.reshape(-1), back, ri.mask.reshape(-1),
+             ri.label.reshape(-1),
+             jnp.maximum(ri.remission, 0.0).reshape(-1))]
+    kw = dict(target_H=small_spec.H, target_W=small_spec.W,
+              fov_up_deg=small_spec.fov_up,
+              fov_down_deg=small_spec.fov_down,
+              vol_origin=origin, active_dims=active)
+    a = splat_synthesize(None, eng.vol_spec, srcs, attrs="image", **kw)
+    b = splat_synthesize(None, eng.vol_spec, srcs, attrs="fold", **kw)
+    np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    both = np.asarray(a[4])
+    np.testing.assert_allclose(np.asarray(a[0])[both],
+                               np.asarray(b[0])[both], atol=1e-4)
