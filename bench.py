@@ -461,7 +461,7 @@ def measure(args):
         for _ in range(n_f):
             st = eng._integrate(st, ri, fov_up, fov_down, origin, active,
                                 reset=True, geom=geom, write_weight=False)
-        jax.block_until_ready(st.tsdf)
+        sync(st.tsdf[0])
         eng._keep_state(st)
         f_dt = (time.perf_counter() - t0) / n_f
         log(f"fusion: {1.0/f_dt:.2f} integrates/s "

@@ -843,6 +843,28 @@ class TransferEngine:
             self._fused = False
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
+        if (self.cfg.adaption == "mesh" and self.fixed_bounds
+                and self._defer_mesh_active()):
+            fn = getattr(self, "_mesh_jit_stream", None)
+            if fn is None:
+                def mesh_stream(ws):
+                    def step(carry, w):
+                        return carry, self._mesh_fast_body(w)[0]
+                    _, outs = jax.lax.scan(step, 0, ws)
+                    return outs
+                fn = jax.jit(mesh_stream)
+                self._mesh_jit_stream = fn
+            rng, lbl, rem, ends, mask = fn(windows)
+            self._pending_fusion = None
+            self._pending_window = jax.tree.map(lambda x: x[-1], windows)
+            self._pending_mode = "mesh"
+            self._pending_origin = None      # fixed bounds: recomputed
+            self._fused = False
+            self._stream_stash = windows.points.shape[0]
+            self._last_origin = jnp.asarray(self.vol_spec.origin,
+                                            jnp.float32)
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask, adaption="mesh")
         if not (self.cfg.adaption == "mergemesh"
                 and self.synthesis == "splat" and self.fixed_bounds):
             outs = [self.transfer_fast(
@@ -902,6 +924,32 @@ class TransferEngine:
         return (vs.range, vs.label, vs.remission, vs.points, vs.mask,
                 tuple(ri for ri, _, _ in fused), state, origin)
 
+    def _mesh_fast_body(self, w: ScanWindow):
+        """Jittable volume-free mesh frame (fold synthesis; fixed_bounds
+        — the volume placement must be static). Returns
+        ((range, label, rem, endpoints, mask), primary RangeImage)."""
+        from lidar_transfer_tpu.ops.transforms import transform_points
+
+        pts_all = transform_points(w.points, w.rel_pose)
+        flat_pts = pts_all.reshape(-1, 3)
+        flat_valid = w.valid.reshape(-1)
+        ris = tuple(
+            P.range_project(
+                pts_all[s], w.remissions[s], w.labels[s], w.valid[s],
+                H=self.source.H, W=self.source.W,
+                fov_up_deg=self.source.fov_up,
+                fov_down_deg=self.source.fov_down,
+                beam_angles=self.s_beam_angles)
+            for s in range(w.points.shape[0]))
+        origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
+        active = jnp.asarray(self.vol_spec.dims, jnp.int32)
+        fused = [(ri, self.source.fov_up, self.source.fov_down)
+                 for ri in ris]
+        vs = self._synthesize(None, origin, active, fused, flat_pts,
+                              flat_valid)
+        return ((vs.range, vs.label, vs.remission, vs.points, vs.mask),
+                ris[0])
+
     def _mesh_stage_jits(self):
         """Cached per-stage jits for the staged mesh pipeline."""
         jits = getattr(self, "_mesh_jits", None)
@@ -950,12 +998,25 @@ class TransferEngine:
         pipeline; device work is serialized either way.
         """
         if self._defer_mesh_active():
-            proj_jit, synth_jit = self._mesh_stage_jits()
-            flat_pts, ris = proj_jit(window)
-            flat_valid = window.valid.reshape(-1)
-            origin, active = self._frame_volume(flat_pts, flat_valid)
-            rng, lbl, rem, ends, mask = synth_jit(
-                None, origin, active, ris, flat_pts, flat_valid)
+            if self.fixed_bounds:
+                # whole-frame jit: the fold path has no pallas_call and
+                # no big gathers, so the staged-dispatch split (below)
+                # isn't needed — one launch per frame
+                fn = getattr(self, "_mesh_fast_jit", None)
+                if fn is None:
+                    fn = jax.jit(self._mesh_fast_body)
+                    self._mesh_fast_jit = fn
+                (rng, lbl, rem, ends, mask), ri0 = fn(window)
+                origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
+                active = jnp.asarray(self.vol_spec.dims, jnp.int32)
+            else:
+                proj_jit, synth_jit = self._mesh_stage_jits()
+                flat_pts, ris = proj_jit(window)
+                flat_valid = window.valid.reshape(-1)
+                origin, active = self._frame_volume(flat_pts, flat_valid)
+                rng, lbl, rem, ends, mask = synth_jit(
+                    None, origin, active, ris, flat_pts, flat_valid)
+                ri0 = ris[0]
             self._pending_fusion = None
             self._pending_window = window
             self._pending_mode = "mesh"
@@ -965,7 +1026,7 @@ class TransferEngine:
             self._last_origin = origin
             vs = VirtualScan(range=rng, label=lbl, remission=rem,
                              points=ends, mask=mask, adaption="mesh")
-            return vs, ris[0]
+            return vs, ri0
 
         geom = self._ensure_geom(self.source.fov_up, self.source.fov_down,
                                  self.source.H)

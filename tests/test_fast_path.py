@@ -192,3 +192,35 @@ def test_project_winners_matches_range_project(synthetic_dataset,
     np.testing.assert_array_equal(np.asarray(is_winner), win_from_image)
     np.testing.assert_allclose(np.asarray(depth),
                                np.asarray(ri.point_depth), rtol=0, atol=0)
+
+
+def test_mesh_stream_matches_single(synthetic_dataset, small_spec):
+    """transfer_stream for the deferred-fold mesh adaption (lax.scan
+    body) == per-frame mesh() calls."""
+    cfg = make_cfg(adaption="mesh", number_of_scans=2)
+    seq = KittiSequence.open(synthetic_dataset)
+    wins = [load_window(seq, cfg, i, CAP) for i in (1, 2, 3)]
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         fixed_bounds=True)
+    singles = [eng.transfer(w)[0] for w in wins]
+
+    from lidar_transfer_tpu.pipeline.multiscan import stack_windows
+    eng2 = TransferEngine(small_spec, small_spec, cfg, CAP,
+                          fixed_bounds=True)
+    sv = eng2.transfer_stream(stack_windows(wins))
+    assert sv.range.shape[0] == 3 and sv.adaption == "mesh"
+    for i, s in enumerate(singles):
+        np.testing.assert_array_equal(np.asarray(sv.mask[i]),
+                                      np.asarray(s.mask))
+        np.testing.assert_allclose(np.asarray(sv.range[i]),
+                                   np.asarray(s.range), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(sv.label[i]),
+                                      np.asarray(s.label))
+    # lazy volume after the stream = last frame's chain (with a warning)
+    import pytest as _pytest
+    with _pytest.warns(UserWarning, match="LAST of the 3"):
+        st = eng2.fused_state()
+    eng.transfer(wins[-1])
+    np.testing.assert_allclose(np.asarray(st.tsdf),
+                               np.asarray(eng.fused_state().tsdf),
+                               atol=1e-6)
