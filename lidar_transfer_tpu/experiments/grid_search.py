@@ -44,7 +44,7 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
                       offset: int = 0, frames: int = 1,
                       target_yaml: str | None = None,
                       fixed_bounds: bool = False,
-                      mesh=None) -> dict:
+                      mesh=None, mesh_attrs: str = "fold") -> dict:
     """Run the transfer on `frames` scans and return mean IoU/Acc/MSE.
 
     One in-process equivalent of a reference grid-search cell
@@ -72,7 +72,8 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
     capacity = kitti.scan_capacity(
         max(os.path.getsize(f) // 16 for f in seq.scan_files))
     eng = TransferEngine(source, target, cfg, capacity,
-                         fixed_bounds=fixed_bounds or mesh is not None)
+                         fixed_bounds=fixed_bounds or mesh is not None,
+                         mesh_attrs=mesh_attrs)
 
     idx0 = max(offset, min_start_index(cfg.number_of_scans))
     end = max_end_index(cfg.number_of_scans, len(seq))
@@ -138,7 +139,7 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                 adaption: str = "mergemesh", base_cfg=None,
                 target_yaml: str | None = None,
                 out_dir: str | None = None, verbose: bool = True,
-                mesh=None) -> dict:
+                mesh=None, mesh_attrs: str = "fold") -> dict:
     """Sweep number_of_scans x voxel_size over sequences.
 
     Returns {"cells": [...], "grid": {...}} and, with ``out_dir``, writes
@@ -165,7 +166,7 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                                       offset=offset,
                                       frames=frames_per_cell,
                                       target_yaml=target_yaml,
-                                      mesh=mesh)
+                                      mesh=mesh, mesh_attrs=mesh_attrs)
                 per_seq.append(r)
             cell = {"number_of_scans": int(nscans),
                     "voxel_size": float(voxel),
@@ -192,7 +193,8 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                        # cp cells run the exact per-frame transfer();
                        # everything else runs the fused fast body
                        "transfer_path": ("exact" if adaption == "cp"
-                                         else "fast")},
+                                         else "fast"),
+                       "mesh_attrs": mesh_attrs},
               "cells": cells}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -254,6 +256,10 @@ def main(argv=None) -> int:
     p.add_argument("--frames-per-cell", type=int, default=1)
     p.add_argument("--offset", "-o", type=int, default=0)
     p.add_argument("--adaption", default="mergemesh")
+    p.add_argument("--mesh-attrs", default="fold",
+                   choices=["fold", "volume"],
+                   help="mesh-adaption band attributes: pixel-wise fold "
+                        "(volume-free) or the materialized volume probe")
     p.add_argument("--target", "-t", default=None)
     p.add_argument("--out", default="grid_out/")
     p.add_argument("--config", "-c", default=None)
@@ -282,7 +288,8 @@ def main(argv=None) -> int:
                 voxel_sizes=args.voxel_sizes, sequences=args.sequences,
                 offset=args.offset, frames_per_cell=args.frames_per_cell,
                 adaption=args.adaption, base_cfg=base,
-                target_yaml=args.target, out_dir=args.out, mesh=mesh)
+                target_yaml=args.target, out_dir=args.out, mesh=mesh,
+                mesh_attrs=args.mesh_attrs)
     print(f"results in {args.out}")
     return 0
 
