@@ -197,13 +197,29 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
     # the gather-free fast body needs NO volume state — at reference
     # scale the classic body allocates a 7-8.6 GB volume PER FRAME,
     # which made frame-parallel infeasible on real chips; splat engines
-    # take the volume-free path, others keep the materialized body
+    # take the volume-free path (mergemesh fast body / mesh fold body),
+    # others keep the materialized body
+    adaption = engine.cfg.adaption
     use_fast = engine.synthesis == "splat"
+    mesh_fold = (adaption == "mesh" and use_fast
+                 and engine.mesh_attrs == "fold")
+    if adaption not in ("mergemesh", "mesh"):
+        raise ValueError(
+            f"frame_parallel_transfer supports mergemesh/mesh, "
+            f"got {adaption!r}")
+    if adaption == "mesh" and not mesh_fold:
+        raise ValueError(
+            "frame-parallel mesh needs the volume-free fold body "
+            "(synthesis='splat', mesh_attrs='fold') — a materialized "
+            "volume per frame does not fit")
 
     def one_frame(points, remissions, labels, valid, rel_pose):
         w = ScanWindow(points=points, remissions=remissions, labels=labels,
                        valid=valid, rel_pose=rel_pose,
                        primary_index=primary_index)
+        if mesh_fold:
+            (rng, lbl, rem, ends, mask), _ = engine._mesh_fast_body(w)
+            return rng, lbl, rem, ends, mask
         if use_fast:
             rng, lbl, rem, ends, mask, _ = engine._mergemesh_core_fast(w)
             return rng, lbl, rem, ends, mask

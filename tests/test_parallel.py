@@ -108,3 +108,44 @@ def test_frame_parallel_transfer(synthetic_dataset, small_spec):
         assert (dr < 1e-4).mean() > 0.99
         same = (np.asarray(lbl_b[k]) == np.asarray(vs.label))[both]
         assert same.mean() > 0.99
+
+
+def test_frame_parallel_mesh_fold(synthetic_dataset, small_spec):
+    """Frame-parallel MESH adaption (volume-free fold body): per-frame
+    results match the single-frame mesh engine."""
+    import numpy as np
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.parallel.sharding import (
+        frame_parallel_transfer, stack_windows)
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(
+        adaption="mesh", number_of_scans=2, voxel_size=0.25,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True)
+    idxs = [1, 2, 3, 1, 2, 3, 1, 2]
+    wins = [load_window(seq, cfg, i, 8192) for i in idxs]
+    rng_b, lbl_b, rem_b, ends_b, mask_b = frame_parallel_transfer(
+        eng, stack_windows(wins))
+    assert rng_b.shape[0] == 8
+    for k in (0, 2):
+        vs, _ = eng.transfer(wins[k])
+        mk, mv = np.asarray(mask_b[k]), np.asarray(vs.mask)
+        assert (mk == mv).mean() > 0.98
+        both = mk & mv
+        dr = np.abs(np.asarray(rng_b[k]) - np.asarray(vs.range))[both]
+        assert (dr < 1e-4).mean() > 0.99
+        same = (np.asarray(lbl_b[k]) == np.asarray(vs.label))[both]
+        assert same.mean() > 0.99
+
+    # volume-probe mesh engines can't run frame-parallel (a materialized
+    # volume per frame) — explicit error, not silent wrong results
+    import pytest as _pytest
+    eng_v = TransferEngine(small_spec, small_spec, cfg, 8192,
+                           fixed_bounds=True, mesh_attrs="volume")
+    with _pytest.raises(ValueError, match="fold body"):
+        frame_parallel_transfer(eng_v, stack_windows(wins))
