@@ -268,3 +268,33 @@ def test_engine_rolling_shutter_motion_shifts(synthetic_dataset,
     d = np.abs(np.asarray(vs_rs.range) - np.asarray(vs_static.range))[both]
     assert np.median(d) > 0.01           # distortion is visible
     assert np.median(d) < 1.5            # but bounded by the motion
+
+
+def test_mesh_deferred_rolling_shutter(synthetic_dataset, small_spec):
+    """Rolling shutter after a deferred-fold MESH transfer takes the fast
+    splat reprojection (the window is stashed) and stays close to the
+    static mesh output under an identity pose step."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mesh", number_of_scans=2,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True)
+    window = load_window(seq, cfg, 2, 8192)
+    vs, _ = eng.transfer(window)
+    rs = eng.resynthesize_rolling_shutter(np.eye(4))
+    m_s, m_r = np.asarray(vs.mask), np.asarray(rs.mask)
+    assert m_r.mean() > 0.3
+    both = m_s & m_r
+    assert both.sum() > 0.85 * m_s.sum()
+    dr = np.abs(np.asarray(vs.range) - np.asarray(rs.range))[both]
+    # static-pose rolling == plain reprojection of the merged points;
+    # differs from the fold output only at collision/boundary pixels
+    assert np.median(dr) < cfg.voxel_size
