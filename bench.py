@@ -106,78 +106,105 @@ def _reader(stream, sink_line, echo=None):
     return t
 
 
-def _run_child(extra_args, budget):
-    """Run the inner measurement child; return (final_json, last_partial)."""
-    env = dict(os.environ)
-    env["LT_BENCH_INNER"] = "1"
-    env["LT_BENCH_DEADLINE"] = str(max(budget, 10.0))
-    cmd = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:] \
-        + extra_args
-    log(f"supervisor: running child (budget {budget:.0f}s): "
-        f"{' '.join(cmd[1:])}")
-    state = {"final": None, "partial": None}
+class _Child:
+    """An inner measurement child with live-parsed output."""
 
-    def on_stdout(line):
+    def __init__(self, extra_args, budget, tag):
+        env = dict(os.environ)
+        env["LT_BENCH_INNER"] = "1"
+        env["LT_BENCH_DEADLINE"] = str(max(budget, 10.0))
+        cmd = [sys.executable, os.path.abspath(__file__)] + sys.argv[1:] \
+            + extra_args
+        log(f"supervisor: starting {tag} child (budget {budget:.0f}s): "
+            f"{' '.join(cmd[1:])}")
+        self.tag = tag
+        self.final = None
+        self.partial = None
+        self.proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                     stderr=subprocess.PIPE)
+        self._t_out = _reader(self.proc.stdout, self._on_stdout)
+        self._t_err = _reader(self.proc.stderr, None, echo=sys.stderr)
+
+    def _on_stdout(self, line):
         line = line.strip()
-        payload = None
+        payload = key = None
         if line.startswith("RESULT "):
-            payload = line[len("RESULT "):]
-            key = "partial"
+            payload, key = line[len("RESULT "):], "partial"
         elif line.startswith("{"):
-            payload = line
-            key = "final"
+            payload, key = line, "final"
         if payload:
             try:
-                state[key] = json.loads(payload)
+                setattr(self, key, json.loads(payload))
             except ValueError:
                 pass
 
-    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE)
-    t_out = _reader(proc.stdout, on_stdout)
-    t_err = _reader(proc.stderr, None, echo=sys.stderr)
-    try:
-        proc.wait(timeout=budget)
-    except subprocess.TimeoutExpired:
-        log("supervisor: child over budget — killing it")
-        proc.kill()
-        proc.wait()
-    t_out.join(timeout=5)
-    t_err.join(timeout=5)
-    if proc.returncode not in (0, None):
-        log(f"supervisor: child exited rc={proc.returncode}")
-    return state["final"], state["partial"]
+    def done(self):
+        return self.proc.poll() is not None
+
+    def kill(self):
+        if not self.done():
+            self.proc.kill()
+        self.proc.wait()
+        self._t_out.join(timeout=5)
+        self._t_err.join(timeout=5)
+        if self.proc.returncode not in (0, None):
+            log(f"supervisor: {self.tag} child exited "
+                f"rc={self.proc.returncode}")
 
 
 def supervise(args):
-    """Always print exactly one JSON line on stdout, within the deadline."""
-    reserve = 10.0                       # time to kill + fall back + print
+    """Always print exactly one JSON line on stdout, within the deadline.
+
+    The TPU child gets (almost) the whole budget. If it has produced no
+    number by 55% of the budget — the signature of the tunnel-warmup
+    hang that killed round 2's driver bench — a CPU fallback child
+    starts IN PARALLEL (the hung child is network-blocked, not
+    CPU-bound), so a real measurement exists by the deadline either way;
+    the TPU result is preferred whenever it lands.
+    """
+    reserve = 8.0                        # time to kill + print
     budget = remaining() - reserve
-    final, partial = _run_child([], budget)
-    if final is not None:
-        print(json.dumps(final))
-        return 0
-    if partial is not None:
-        partial["degraded"] = True
-        partial["note"] = "child hung/died after this measurement"
-        print(json.dumps(partial))
-        return 0
-    # Nothing measured on the requested backend. If that backend was the
-    # TPU and there is budget left, measure on CPU so the scoreboard gets
-    # a real (clearly marked) number instead of nothing.
-    if not args.cpu and remaining() > 45.0:
-        log("supervisor: TPU run produced nothing — CPU fallback")
-        final, partial = _run_child(
-            ["--cpu", "--quick", "--frames", "4", "--warmup", "1",
-             "--stream", "2"], remaining() - reserve)
-        got = final or partial
-        if got is not None:
+    tpu = _Child([], budget, "primary")
+    cpu = None
+    cpu_trigger = _T0 + 0.55 * budget
+    while remaining() > reserve:
+        if tpu.done() and (cpu is None or cpu.done()):
+            break
+        if tpu.final is not None:
+            break
+        if (cpu is None and not args.cpu
+                and time.monotonic() > cpu_trigger
+                and tpu.partial is None):
+            log("supervisor: primary child still numberless at 55% of "
+                "budget — starting parallel CPU fallback")
+            cpu = _Child(["--cpu", "--quick", "--frames", "4",
+                          "--warmup", "1", "--stream", "2"],
+                         remaining() - reserve, "cpu-fallback")
+        time.sleep(0.5)
+    tpu.kill()
+    if cpu is not None:
+        # give an in-flight cpu child a moment to finish its print
+        t_end = time.monotonic() + max(remaining() - 2.0, 0.0)
+        while not cpu.done() and time.monotonic() < t_end \
+                and cpu.final is None:
+            time.sleep(0.25)
+        cpu.kill()
+
+    got = tpu.final or tpu.partial
+    if got is not None:
+        if got is tpu.partial:
             got["degraded"] = True
-            got["backend"] = "cpu-fallback"
-            got["note"] = ("TPU measurement hung (tunnel warmup "
-                           "pathology); value measured on the host CPU")
-            print(json.dumps(got))
-            return 0
+            got["note"] = "child hung/died after this measurement"
+        print(json.dumps(got))
+        return 0
+    if cpu is not None and (cpu.final or cpu.partial) is not None:
+        got = cpu.final or cpu.partial
+        got["degraded"] = True
+        got["backend"] = "cpu-fallback"
+        got["note"] = ("TPU measurement hung (tunnel warmup pathology); "
+                       "value measured on the host CPU")
+        print(json.dumps(got))
+        return 0
     print(json.dumps({
         "metric": "virtual scans/sec/chip (64x2048 transfer)",
         "value": 0.0, "unit": "scans/sec", "vs_baseline": 0.0,
