@@ -217,6 +217,11 @@ class InteractiveViewer:
         from vispy import scene
 
         payload = self._load(idx)
+        # view modes ≡ laserscanvis.py:338-354: 1 = source only,
+        # 2 = virtual only, 3 = both
+        mode = self.stepper.view_mode
+        self.mark_src.visible = mode in (1, 3)
+        self.mark_virt.visible = mode in (2, 3)
         if "points_3d" in payload:
             self.mark_src.set_data(payload["points_3d"],
                                    face_color=payload["colors_3d"],

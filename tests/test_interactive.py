@@ -216,6 +216,12 @@ def test_interactive_shell_executes(monkeypatch, synthetic_dataset,
     assert viewer.stepper.index == 0
     viewer._on_key(ev(key="2"))                # view mode redraw
     assert viewer.stepper.view_mode == 2
+    # view modes gate marker visibility (1=src, 2=virtual, 3=both)
+    assert not viewer.mark_src.visible and viewer.mark_virt.visible
+    viewer._on_key(ev(key="1"))
+    assert viewer.mark_src.visible and not viewer.mark_virt.visible
+    viewer._on_key(ev(key="3"))
+    assert viewer.mark_src.visible and viewer.mark_virt.visible
     viewer._on_key(ev(key=None))               # ignored
     viewer._on_key(ev(key="x"))                # unbound: ignored
     assert "quit" not in record
