@@ -168,18 +168,22 @@ def supervise(args):
     cpu = None
     cpu_trigger = _T0 + 0.55 * budget
     while remaining() > reserve:
-        if tpu.done() and (cpu is None or cpu.done()):
-            break
         if tpu.final is not None:
             break
+        crashed = (tpu.done() and tpu.final is None
+                   and tpu.partial is None)
         if (cpu is None and not args.cpu
-                and time.monotonic() > cpu_trigger
-                and tpu.partial is None):
-            log("supervisor: primary child still numberless at 55% of "
-                "budget — starting parallel CPU fallback")
+                and tpu.partial is None
+                and (crashed or time.monotonic() > cpu_trigger)):
+            log("supervisor: primary child "
+                + ("crashed without a number"
+                   if crashed else "still numberless at 55% of budget")
+                + " — starting CPU fallback")
             cpu = _Child(["--cpu", "--quick", "--frames", "4",
                           "--warmup", "1", "--stream", "2"],
                          remaining() - reserve, "cpu-fallback")
+        if tpu.done() and (cpu is None or cpu.done()):
+            break
         time.sleep(0.5)
     tpu.kill()
     if cpu is not None:
