@@ -38,7 +38,14 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     samples = []
-    for i in range(args.n):
+    clean = 0
+    attempts = 0
+    # keep sampling until n CLEAN (non-degraded, on-device) measurements
+    # exist or 2n attempts are spent — sick-tunnel windows produce
+    # degraded / cpu-fallback JSON that must NOT enter the floor stats
+    while clean < args.n and attempts < 2 * args.n:
+        i = attempts
+        attempts += 1
         cache = tempfile.mkdtemp(prefix=f"lt_floor_cache_{i}_")
         env = dict(os.environ)
         env["LT_JAX_CACHE"] = cache          # fresh local cache ->
@@ -58,13 +65,17 @@ def main():
         finally:
             shutil.rmtree(cache, ignore_errors=True)
         rec["wall_seconds"] = round(time.time() - t0, 1)
+        rec["clean"] = (isinstance(rec.get("value"), (int, float))
+                        and rec["value"] > 0
+                        and not rec.get("degraded")
+                        and "backend" not in rec)
+        clean += bool(rec["clean"])
         samples.append(rec)
-        print(f"run {i+1}/{args.n}: value={rec.get('value')} "
+        print(f"run {i+1} (clean {clean}/{args.n}): "
+              f"value={rec.get('value')} clean={rec['clean']} "
               f"({rec['wall_seconds']}s)", flush=True)
 
-    vals = sorted(s["value"] for s in samples
-                  if isinstance(s.get("value"), (int, float))
-                  and s["value"] > 0)
+    vals = sorted(s["value"] for s in samples if s["clean"])
     summary = {
         "n_requested": args.n,
         "n_measured": len(vals),
