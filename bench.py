@@ -187,11 +187,14 @@ def supervise(args):
         time.sleep(0.5)
     tpu.kill()
     if cpu is not None:
-        # give an in-flight cpu child a moment to finish its print
-        t_end = time.monotonic() + max(remaining() - 2.0, 0.0)
-        while not cpu.done() and time.monotonic() < t_end \
-                and cpu.final is None:
-            time.sleep(0.25)
+        if tpu.final is None:
+            # give an in-flight cpu child a moment to finish its print
+            t_end = time.monotonic() + max(remaining() - 2.0, 0.0)
+            while not cpu.done() and time.monotonic() < t_end \
+                    and cpu.final is None:
+                time.sleep(0.25)
+        # (the preferred TPU result already exists otherwise — don't
+        # idle behind the fallback)
         cpu.kill()
 
     got = tpu.final or tpu.partial
@@ -240,13 +243,17 @@ def _warm_transfer_path(jnp, np):
     is ultimately the supervisor's problem (it kills us at budget).
     """
     done = threading.Event()
+    errors = []
 
     def xfer():
         try:
             np.asarray(jnp.zeros((8, 128), jnp.float32))
             np.asarray(jnp.zeros((8, 128), bool))
-        finally:
-            done.set()
+            done.set()              # only a SUCCESSFUL transfer warms
+        except Exception as e:      # a failed (not hung) transfer must
+            errors.append(e)        # not silently count as warmed
+            if len(errors) >= 3:
+                done.set()
 
     t0 = time.monotonic()
     threading.Thread(target=xfer, daemon=True).start()
@@ -256,6 +263,10 @@ def _warm_transfer_path(jnp, np):
         log(f"warmup transfer still blocked after "
             f"{time.monotonic()-t0:.0f}s — dispatching retry {attempt}")
         threading.Thread(target=xfer, daemon=True).start()
+    if errors:
+        log(f"transfer-path warmup saw {len(errors)} error(s): "
+            f"{errors[-1]!r} — timed phases may misattribute the first "
+            "successful transfer's cost")
     log(f"transfer-path warmup: {time.monotonic()-t0:.1f}s")
 
 
@@ -475,9 +486,32 @@ def measure(args):
         log("miss decomposition: " + json.dumps(
             {k: round(v, 4) for k, v in dec.rates().items()}))
 
-    if args.fusion and args.adaption != "mergemesh":
-        log("--fusion measures the deferred mergemesh integrate; the mesh "
-            "adaption already materializes per scan — skipping")
+    if args.fusion and args.adaption == "cp":
+        log("--fusion: the cp adaption never touches a volume — skipping")
+    elif (args.fusion and args.adaption == "mesh"
+          and not args.quick and remaining() > 60):
+        # the S-scan fused chain (integrate_pallas_chain) — mesh defers
+        # it off the hot path; measure the on-demand materialization
+        set_phase("fusion throughput (S-scan chain)")
+        state = eng.fused_state()       # projects + compiles the chain
+        ris = [ri for ri, _, _ in eng._last_sources]
+        origin = eng._last_origin
+        active = jnp.asarray(eng.vol_spec.dims, jnp.int32)
+        geom = eng._ensure_geom(source.fov_up, source.fov_down, source.H)
+        n_f = 5
+        t0 = time.perf_counter()
+        st = eng._take_state()
+        for _ in range(n_f):
+            st = eng._integrate_chain(st, ris, source.fov_up,
+                                      source.fov_down, origin, active,
+                                      geom)
+        sync(st.tsdf)
+        eng._keep_state(st)
+        f_dt = (time.perf_counter() - t0) / n_f
+        log(f"fusion: {1.0/f_dt:.2f} {len(ris)}-scan chains/s "
+            f"({len(ris)*np.prod(eng.vol_dims)/f_dt/1e9:.2f} Gvoxel/s, "
+            f"{f_dt*1e3:.1f} ms per fused {len(ris)}-scan chain)")
+        result["fusion_chains_per_sec"] = round(1.0 / f_dt, 2)
     elif args.fusion and not args.quick and remaining() > 60:
         # fusion FPS ≡ the reference's printed field (laserscan.py:971-977)
         # — the class-aware integrate at full volume scale (materialized;

@@ -209,19 +209,28 @@ class InteractiveViewer:
         if action == "quit":
             self._app.quit()
         elif action is not None:
-            if self.stepper.apply(action) or action.startswith("view_"):
+            if action.startswith("view_"):
+                # visibility toggle only — no payload reload (a reload
+                # re-runs the whole transfer + metrics per keypress)
+                self.stepper.apply(action)
+                self._apply_view_mode()
+                self.canvas3d.update()
+            elif self.stepper.apply(action):
                 self._show(self.stepper.index)
 
     # -- drawing ----------------------------------------------------------
+    def _apply_view_mode(self):
+        """View modes ≡ laserscanvis.py:338-354: 1 = source only,
+        2 = virtual only, 3 = both."""
+        mode = self.stepper.view_mode
+        self.mark_src.visible = mode in (1, 3)
+        self.mark_virt.visible = mode in (2, 3)
+
     def _show(self, idx: int):
         from vispy import scene
 
         payload = self._load(idx)
-        # view modes ≡ laserscanvis.py:338-354: 1 = source only,
-        # 2 = virtual only, 3 = both
-        mode = self.stepper.view_mode
-        self.mark_src.visible = mode in (1, 3)
-        self.mark_virt.visible = mode in (2, 3)
+        self._apply_view_mode()
         if "points_3d" in payload:
             self.mark_src.set_data(payload["points_3d"],
                                    face_color=payload["colors_3d"],

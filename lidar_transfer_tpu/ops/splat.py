@@ -404,7 +404,10 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         from the S aligned images elementwise (zero gathers, valid
         whenever all sources share the projection grid/origin — the mesh
         adaption; see ``_band_samples_fold``); "auto" picks image iff
-        len(sources) == 1 else fold.
+        len(sources) == 1 else the conservative volume probe. The fold
+        must be requested EXPLICITLY because its shared-grid
+        precondition cannot be checked here — off-grid sources would
+        fold against the wrong pixels silently.
       label_probe: volume path only — see ``_band_samples`` (False =
         raymarcher label-0 semantics, drops the K-sample label gather).
 
@@ -417,7 +420,7 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
     vol_origin = jnp.asarray(vol_origin, jnp.float32)
     active_f = jnp.asarray(active_dims, jnp.float32)
     if attrs == "auto":
-        attrs = "image" if len(sources) == 1 else "fold"
+        attrs = "image" if len(sources) == 1 else "volume"
 
     if attrs == "image":
         parts = [

@@ -468,22 +468,58 @@ def _verify_label_max(arr) -> None:
             f"label ids must be < 512, got {bad}")
 
 
-def drain_label_checks() -> None:
-    """Block on and verify every pending max-label reduction.
+def drain_label_checks(timeout: float | None = None) -> None:
+    """Verify every pending max-label reduction.
 
     The eager-call polling in ``integrate_pallas`` only inspects checks
     enqueued by *earlier* calls, so the final integrate(s) of a run are
     never validated by it.  Call this at a natural sync point (a
-    ``fused_state()`` materialization, bench end; also registered via
-    ``atexit``) to close that window — labels >= 512 then raise instead
-    of silently corrupting labels and remissions.
+    ``fused_state()`` materialization, bench end) to close that window —
+    labels >= 512 then raise instead of silently corrupting labels and
+    remissions.
+
+    ``timeout``: None blocks until all reductions are ready (sync
+    points). A float bounds the wait — used by the ``atexit`` hook so a
+    sick device tunnel cannot hang interpreter shutdown; entries still
+    unready at the bound are reported unverified on stderr.
     """
+    import sys
+    import time
+
     pending = getattr(integrate_pallas, "_pending_label_checks", None)
-    while pending:
-        _verify_label_max(pending.pop(0))
+    if timeout is None:
+        while pending:
+            _verify_label_max(pending.pop(0))
+        return
+    deadline = time.monotonic() + timeout
+    while pending and time.monotonic() < deadline:
+        ready = [a for a in pending if a.is_ready()]
+        for a in ready:
+            pending.remove(a)
+            _verify_label_max(a)
+        if pending:
+            time.sleep(0.05)
+    if pending:
+        print(f"lidar-transfer-tpu: {len(pending)} async label-range "
+              "guard(s) still unverified at exit (device not responding "
+              f"within {timeout:.0f}s) — labels >= 512 in the final "
+              "integrates would have gone undetected", file=sys.stderr)
 
 
-atexit.register(drain_label_checks)
+def _drain_at_exit() -> None:
+    try:
+        drain_label_checks(timeout=5.0)
+    except ValueError as e:
+        # an atexit exception cannot change the exit code; a corrupted
+        # label volume must not look like success
+        import os
+        import sys
+        print(f"lidar-transfer-tpu: FATAL {e}", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(70)
+
+
+atexit.register(_drain_at_exit)
 
 
 def _enqueue_label_check(depth_im, label_im) -> None:
@@ -504,10 +540,14 @@ def _enqueue_label_check(depth_im, label_im) -> None:
         mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
         if not isinstance(mx, jax.core.Tracer):
             pending.append(mx)
-            while len(pending) > 8:
-                # bound the queue by VERIFYING the oldest entries
-                # (blocking — under backlog they are ready anyway),
-                # never by dropping them unchecked
+            # Bound the queue by VERIFYING the oldest entries, never by
+            # dropping them unchecked. The bound is high enough that the
+            # oldest entry is essentially always ready (the device can't
+            # be 64 dispatches behind), so this does NOT put a blocking
+            # ~30 ms host read on the per-frame path (CLAUDE.md rule) —
+            # unlike the previous bound of 8, which a few pipelined
+            # 3-scan frames could overflow.
+            while len(pending) > 64:
                 _verify_label_max(pending.pop(0))
     except jax.errors.ConcretizationTypeError:
         pass                            # inside an outer trace

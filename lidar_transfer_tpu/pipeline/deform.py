@@ -897,24 +897,34 @@ class TransferEngine:
         return VirtualScan(range=rng, label=lbl, remission=rem,
                            points=ends, mask=mask, adaption="mergemesh")
 
+    def _project_window_scans(self, w: ScanWindow):
+        """Shared per-scan projection stage of the mesh adaption
+        (transform to the primary frame + one source-spec range image
+        per scan). Used by the staged jits, the whole-frame fold body,
+        and _mesh_core so the three paths cannot drift."""
+        from lidar_transfer_tpu.ops.transforms import transform_points
+
+        pts_all = transform_points(w.points, w.rel_pose)
+        ris = tuple(
+            P.range_project(
+                pts_all[s], w.remissions[s], w.labels[s], w.valid[s],
+                H=self.source.H, W=self.source.W,
+                fov_up_deg=self.source.fov_up,
+                fov_down_deg=self.source.fov_down,
+                beam_angles=self.s_beam_angles)
+            for s in range(w.points.shape[0]))
+        return pts_all, ris
+
     # ---------------------------------------------------------------- mesh
     def _mesh_core(self, window: ScanWindow, state: TS.TSDFState,
                    geom=None):
-        from lidar_transfer_tpu.ops.transforms import transform_points
-
-        pts_all = transform_points(window.points, window.rel_pose)
+        pts_all, ris = self._project_window_scans(window)
         flat_pts = pts_all.reshape(-1, 3)
         flat_valid = window.valid.reshape(-1)
         origin, active = self._frame_volume(flat_pts, flat_valid)
 
         fused = []
-        for s in range(window.nscans):
-            ri = P.range_project(
-                pts_all[s], window.remissions[s], window.labels[s],
-                window.valid[s], H=self.source.H, W=self.source.W,
-                fov_up_deg=self.source.fov_up,
-                fov_down_deg=self.source.fov_down,
-                beam_angles=self.s_beam_angles)
+        for s, ri in enumerate(ris):
             fused.append((ri, self.source.fov_up, self.source.fov_down))
             state = self._integrate(state, ri, self.source.fov_up,
                                     self.source.fov_down, origin, active,
@@ -928,19 +938,9 @@ class TransferEngine:
         """Jittable volume-free mesh frame (fold synthesis; fixed_bounds
         — the volume placement must be static). Returns
         ((range, label, rem, endpoints, mask), primary RangeImage)."""
-        from lidar_transfer_tpu.ops.transforms import transform_points
-
-        pts_all = transform_points(w.points, w.rel_pose)
+        pts_all, ris = self._project_window_scans(w)
         flat_pts = pts_all.reshape(-1, 3)
         flat_valid = w.valid.reshape(-1)
-        ris = tuple(
-            P.range_project(
-                pts_all[s], w.remissions[s], w.labels[s], w.valid[s],
-                H=self.source.H, W=self.source.W,
-                fov_up_deg=self.source.fov_up,
-                fov_down_deg=self.source.fov_down,
-                beam_angles=self.s_beam_angles)
-            for s in range(w.points.shape[0]))
         origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
         active = jnp.asarray(self.vol_spec.dims, jnp.int32)
         fused = [(ri, self.source.fov_up, self.source.fov_down)
@@ -957,15 +957,7 @@ class TransferEngine:
             from lidar_transfer_tpu.ops.transforms import transform_points
 
             def proj(window: ScanWindow):
-                pts_all = transform_points(window.points, window.rel_pose)
-                ris = tuple(
-                    P.range_project(
-                        pts_all[s], window.remissions[s], window.labels[s],
-                        window.valid[s], H=self.source.H, W=self.source.W,
-                        fov_up_deg=self.source.fov_up,
-                        fov_down_deg=self.source.fov_down,
-                        beam_angles=self.s_beam_angles)
-                    for s in range(window.points.shape[0]))
+                pts_all, ris = self._project_window_scans(window)
                 return pts_all.reshape(-1, 3), ris
 
             def synth(state, origin, active, ris, flat_pts, flat_valid):

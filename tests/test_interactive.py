@@ -179,8 +179,10 @@ def test_interactive_shell_executes(monkeypatch, synthetic_dataset,
 
     cfg = TransferConfig()
     seq = KittiSequence.open(synthetic_dataset)
+    load_count = [0]
 
     def load_payload(idx):
+        load_count[0] += 1
         pts, rem, lbl = seq.read(idx)
         cap = kitti.scan_capacity(len(pts))
         p, r, l, m = kitti.pad_points(pts, rem, lbl, cap)
@@ -214,14 +216,17 @@ def test_interactive_shell_executes(monkeypatch, synthetic_dataset,
     assert record["updates"] > upd0
     viewer._on_key(ev(key="b"))                # back
     assert viewer.stepper.index == 0
-    viewer._on_key(ev(key="2"))                # view mode redraw
+    loads_before = load_count[0]
+    viewer._on_key(ev(key="2"))                # view mode toggle
     assert viewer.stepper.view_mode == 2
-    # view modes gate marker visibility (1=src, 2=virtual, 3=both)
+    # view modes gate marker visibility (1=src, 2=virtual, 3=both) and
+    # must NOT re-run the payload load (a full transfer per keypress)
     assert not viewer.mark_src.visible and viewer.mark_virt.visible
     viewer._on_key(ev(key="1"))
     assert viewer.mark_src.visible and not viewer.mark_virt.visible
     viewer._on_key(ev(key="3"))
     assert viewer.mark_src.visible and viewer.mark_virt.visible
+    assert load_count[0] == loads_before
     viewer._on_key(ev(key=None))               # ignored
     viewer._on_key(ev(key="x"))                # unbound: ignored
     assert "quit" not in record
