@@ -95,14 +95,23 @@ def _frame_tensors(seq, idx, spec, capacity, mapper, cfg):
     return np.asarray(feats), lbl_idx.astype(np.int32), weights
 
 
-def save_checkpoint(path: str, model, params, mapper, spec) -> None:
+def save_checkpoint(path: str, model, params, mapper, spec, *,
+                    opt_state=None, step: int | None = None) -> None:
     """Serialize a trained model bundle (readable by ``load_checkpoint``
-    and the lt-seg infer CLI)."""
+    and the lt-seg infer CLI). ``opt_state``/``step``, when given, make
+    the checkpoint resumable mid-training (train_segmentation
+    ``resume=True``); older checkpoints without them still load."""
     import pickle
 
-    with open(path, "wb") as f:
-        pickle.dump({"params": params, "mapper": mapper, "spec": spec,
-                     "model_cfg": model.cfg}, f)
+    blob = {"params": params, "mapper": mapper, "spec": spec,
+            "model_cfg": model.cfg}
+    if opt_state is not None:
+        blob["opt_state"] = opt_state
+        blob["step"] = step
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str):
@@ -122,11 +131,12 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
                        model_cfg=None, cfg=None, seed: int = 0,
                        width: int | None = None, verbose: bool = True,
                        use_mesh: bool = True, checkpoint_path=None,
-                       checkpoint_every: int = 0):
+                       checkpoint_every: int = 0, resume: bool = False):
     """Train RangeNet on a KITTI-format dataset. Returns (model, params,
     mapper, spec). ``checkpoint_every`` > 0 writes ``checkpoint_path``
-    every N steps (resume-friendly: long jobs survive interruption —
-    the reference had no checkpointing at all, SURVEY.md §5)."""
+    every N steps; ``resume=True`` continues a killed run from that
+    checkpoint (params + opt_state + step, exact sampling sequence — the
+    reference had no checkpointing at all, SURVEY.md §5)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P_
@@ -157,6 +167,25 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
         model, jax.random.PRNGKey(seed),
         (1, spec.H, spec.W, model_cfg.input_channels), learning_rate)
 
+    start_step = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        import pickle
+
+        with open(checkpoint_path, "rb") as f:
+            blob = pickle.load(f)
+        if "opt_state" not in blob:
+            raise ValueError(
+                f"{checkpoint_path} has no opt_state — it predates "
+                "resumable checkpoints (re-save with checkpoint_every>0)")
+        if blob["model_cfg"] != model_cfg:
+            raise ValueError(
+                f"{checkpoint_path} was trained with a different model "
+                f"config ({blob['model_cfg']} != {model_cfg})")
+        params, opt_state = blob["params"], blob["opt_state"]
+        start_step = int(blob["step"])
+        if verbose:
+            print(f"resuming from {checkpoint_path} at step {start_step}")
+
     n_dev = len(jax.devices())
     mesh = None
     candidate = make_mesh() if (use_mesh and n_dev > 1) else None
@@ -172,8 +201,12 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
     rng = np.random.default_rng(seed)
     all_frames = [(si, fi) for si, sq in enumerate(seqs)
                   for fi in range(len(sq))]
+    # replay the sampling stream up to start_step so a resumed run draws
+    # the exact batches the uninterrupted run would have
+    for _ in range(start_step):
+        rng.choice(len(all_frames), size=batch_size, replace=True)
     losses = []
-    for step in range(steps):
+    for step in range(start_step, steps):
         picks = rng.choice(len(all_frames), size=batch_size, replace=True)
         fs, ls, ws = [], [], []
         for k in picks:
@@ -195,7 +228,14 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
             print(f"step {step}: loss {float(loss):.4f}")
         if (checkpoint_path and checkpoint_every
                 and (step + 1) % checkpoint_every == 0):
-            save_checkpoint(checkpoint_path, model, params, mapper, spec)
+            save_checkpoint(checkpoint_path, model, params, mapper, spec,
+                            opt_state=opt_state, step=step + 1)
+    if checkpoint_path:
+        # final state, resumable: a finished run can be extended with a
+        # larger ``steps`` + ``resume=True`` (the periodic saves above
+        # may lag the last step when steps % checkpoint_every != 0)
+        save_checkpoint(checkpoint_path, model, params, mapper, spec,
+                        opt_state=opt_state, step=max(steps, start_step))
     return model, params, mapper, spec
 
 
@@ -318,6 +358,8 @@ def main(argv=None) -> int:
     pt.add_argument("--out", default="seg_model.pkl")
     pt.add_argument("--save-every", type=int, default=0,
                     help="Checkpoint --out every N steps (resumable).")
+    pt.add_argument("--resume", action="store_true",
+                    help="Continue a killed run from --out's checkpoint.")
     pt.add_argument("--cpu", action="store_true")
 
     pi = sub.add_parser("infer")
@@ -353,8 +395,8 @@ def main(argv=None) -> int:
             args.dataset, sequences=tuple(args.sequences),
             steps=args.steps, batch_size=args.batch_size,
             learning_rate=args.lr, model_cfg=model_cfg,
-            checkpoint_path=args.out, checkpoint_every=args.save_every)
-        save_checkpoint(args.out, model, params, mapper, spec)
+            checkpoint_path=args.out, checkpoint_every=args.save_every,
+            resume=args.resume)
         print(f"model written to {args.out}")
     elif args.cmd == "infer":
         model, params, mapper, spec = load_checkpoint(args.model)

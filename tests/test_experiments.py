@@ -84,6 +84,44 @@ def test_train_tiny(trained_tiny):
     assert spec.H == 16
 
 
+def test_train_resume_matches_straight_run(tmp_path, synthetic_dataset):
+    """Kill-and-resume reproduces the uninterrupted run exactly: the
+    checkpoint carries params + opt_state + step and the sampling stream
+    is replayed to the resume point (SURVEY.md §5 checkpoint/resume)."""
+    mapper = segmentation.LabelMapper.from_labels(
+        dict(TransferConfig().labels))
+    model_cfg = RangeNetConfig.tiny(num_classes=mapper.num_classes)
+    kw = dict(batch_size=1, model_cfg=model_cfg, verbose=False,
+              use_mesh=False, seed=7)
+
+    _, p_straight, _, _ = segmentation.train_segmentation(
+        synthetic_dataset, steps=4, **kw)
+
+    ckpt = str(tmp_path / "ckpt.pkl")
+    segmentation.train_segmentation(
+        synthetic_dataset, steps=2, checkpoint_path=ckpt,
+        checkpoint_every=2, **kw)
+    _, p_resumed, _, _ = segmentation.train_segmentation(
+        synthetic_dataset, steps=4, checkpoint_path=ckpt,
+        checkpoint_every=2, resume=True, **kw)
+
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(p_straight),
+                    jax.tree_util.tree_leaves(p_resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # a pre-resume (opt_state-less) checkpoint is rejected, not silently
+    # restarted
+    model, params, _, spec = segmentation.load_checkpoint(ckpt)
+    legacy = str(tmp_path / "legacy.pkl")
+    segmentation.save_checkpoint(legacy, model, params, mapper, spec)
+    with pytest.raises(ValueError, match="opt_state"):
+        segmentation.train_segmentation(
+            synthetic_dataset, steps=4, checkpoint_path=legacy,
+            resume=True, **kw)
+
+
 def test_infer_eval_cycle(tmp_path, synthetic_dataset, trained_tiny):
     model, params, mapper, spec = trained_tiny
     pred_root = str(tmp_path / "preds")
