@@ -261,22 +261,31 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
 
 def write_predictions(dataset: str, out_root: str, model, params, mapper,
                       spec, *, sequences=("00",), cfg=None,
-                      verbose: bool = True) -> int:
+                      verbose: bool = True, batch: int = 8) -> int:
     """Run inference over sequences; write semantic-kitti predictions tree.
 
     Per-POINT labels: each point gets the class of its range-image pixel
     (the standard RangeNet post-processing without KNN refinement).
     Returns the number of scans written.
+
+    The per-point lookup and index->raw-id mapping run on device; scan
+    reads are prefetched and results are fetched as ONE stacked array
+    per ``batch`` frames (each device->host read pays the full tunnel
+    round trip here even when the value is ready — same batching rule
+    as the CLI's --stream loop).
     """
     import jax.numpy as jnp
 
     from lidar_transfer_tpu.config import TransferConfig
     from lidar_transfer_tpu.datasets import kitti
     from lidar_transfer_tpu.datasets.kitti import KittiSequence
-    from lidar_transfer_tpu.models.rangenet import infer
+    from lidar_transfer_tpu.models.rangenet import (infer,
+                                                    range_image_features)
     from lidar_transfer_tpu.ops import projection as P
+    from lidar_transfer_tpu.utils.prefetch import Prefetcher
 
     cfg = cfg or TransferConfig()
+    raw_lut = jnp.asarray(np.asarray(mapper.raw_ids, np.int32))
     n = 0
     for s in sequences:
         seq = KittiSequence.open(dataset, s, require_labels=False)
@@ -284,7 +293,9 @@ def write_predictions(dataset: str, out_root: str, model, params, mapper,
             os.path.getsize(f) // 16 for f in seq.scan_files))
         pred_dir = os.path.join(out_root, "sequences", s, "predictions")
         os.makedirs(pred_dir, exist_ok=True)
-        for idx in range(len(seq)):
+
+        def _dispatch(idx):
+            """-> (device (capacity,) raw-id predictions, n real points)."""
             pts, rem = kitti.read_scan_file(seq.scan_files[idx])
             p, r, l, m = kitti.pad_points(
                 pts, rem, np.zeros(pts.shape[0], np.int32), capacity)
@@ -295,18 +306,35 @@ def write_predictions(dataset: str, out_root: str, model, params, mapper,
                                  fov_down_deg=spec.fov_down)
             xyz = jnp.where(ri.mask[..., None],
                             jnp.asarray(p)[jnp.maximum(ri.index, 0)], 0.0)
-            from lidar_transfer_tpu.models.rangenet import (
-                range_image_features)
             feats = range_image_features(ri.range, xyz, ri.remission,
                                          ri.mask)
-            pred_img = np.asarray(infer(model, params, feats[None]))[0]
-            # per-point lookup through each point's pixel
-            pu = np.asarray(ri.point_u)[:pts.shape[0]]
-            pv = np.asarray(ri.point_v)[:pts.shape[0]]
-            pred_pts = pred_img[pv, pu]
-            raw = mapper.to_raw(pred_pts).astype(np.uint32)
-            raw.tofile(os.path.join(pred_dir, f"{idx:06d}.label"))
-            n += 1
+            pred_img = infer(model, params, feats[None])[0]
+            # per-point lookup through each point's pixel (flat 1-D take;
+            # padded entries clip to 0 and are sliced off at write time)
+            flat = jnp.clip(ri.point_v, 0, spec.H - 1) * spec.W \
+                + jnp.clip(ri.point_u, 0, spec.W - 1)
+            pred_pts = jnp.take(pred_img.reshape(-1), flat)
+            raw = raw_lut[jnp.clip(pred_pts, 0,
+                                   mapper.num_classes - 1)]
+            return raw, pts.shape[0]
+
+        def _flush(pending):
+            # ONE stacked device->host read for the whole batch
+            raws = np.asarray(jnp.stack([r for r, _, _ in pending]))
+            for (_, npts, idx), row in zip(pending, raws):
+                row[:npts].astype(np.uint32).tofile(
+                    os.path.join(pred_dir, f"{idx:06d}.label"))
+
+        pending = []
+        with Prefetcher(_dispatch, range(len(seq))) as frames:
+            for idx, (raw, npts) in frames:
+                pending.append((raw, npts, idx))
+                n += 1
+                if len(pending) >= batch:
+                    _flush(pending)
+                    pending = []
+        if pending:
+            _flush(pending)
         if verbose:
             print(f"sequence {s}: {len(seq)} predictions written")
     return n
