@@ -26,6 +26,7 @@ Usage: python bench.py [--frames N] [--warmup N] [--voxel V] [--cpu]
 """
 
 import argparse
+import contextlib
 import json
 import os
 import subprocess
@@ -498,6 +499,12 @@ def measure(args):
         origin = eng._last_origin
         active = jnp.asarray(eng.vol_spec.dims, jnp.int32)
         geom = eng._ensure_geom(source.fov_up, source.fov_down, source.H)
+        # pre-compile the sync path: the tiny slice/squeeze programs the
+        # fetch-sync creates (st.tsdf[:1,:1]) cost a ~300-500 ms REMOTE
+        # COMPILE each on first use — round 3's "271 ms/integrate" was
+        # 3 such compiles landing inside the timed window (xplane: the 5
+        # integrates ran gap-free in 114 ms, then 1.47 s of sync compiles)
+        sync(state.tsdf)
         n_f = 5
         t0 = time.perf_counter()
         st = eng._take_state()
@@ -520,13 +527,26 @@ def measure(args):
         state = eng.fused_state()       # builds geom + compiles once
         ri, fov_up, fov_down, origin, active = eng._pending_fusion
         geom = eng._ensure_geom(fov_up, fov_down, ri.range.shape[0])
+        # pre-compile the sync path (see the chain phase note: the
+        # st.tsdf[0] slice + [:1,:1] fetch programs remote-compile on
+        # first use — ~1.5 s that previously landed inside the loop)
+        sync(state.tsdf[0])
         n_f = 5
+        trace_dir = os.environ.get("LT_BENCH_TRACE_FUSION")
+        trace = (jax.profiler.trace(trace_dir) if trace_dir
+                 else contextlib.nullcontext())
         t0 = time.perf_counter()
         st = eng._take_state()
-        for _ in range(n_f):
-            st = eng._integrate(st, ri, fov_up, fov_down, origin, active,
-                                reset=True, geom=geom, write_weight=False)
-        sync(st.tsdf[0])
+        with trace:
+            for i in range(n_f):
+                td0 = time.perf_counter()
+                st = eng._integrate(st, ri, fov_up, fov_down, origin,
+                                    active, reset=True, geom=geom,
+                                    write_weight=False)
+                if trace_dir:
+                    log(f"  dispatch {i}: "
+                        f"{(time.perf_counter()-td0)*1e3:.1f} ms")
+            sync(st.tsdf[0])
         eng._keep_state(st)
         f_dt = (time.perf_counter() - t0) / n_f
         log(f"fusion: {1.0/f_dt:.2f} integrates/s "

@@ -23,7 +23,12 @@ def setup_compile_cache(path: str | None = None) -> None:
     path = path or os.environ.get("LT_JAX_CACHE", "/tmp/jax_cache_lt")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even tiny programs: through the REMOTE compiler every
+    # first-use eager program (a slice, a cast) costs a ~0.3-0.5 s
+    # compile that the old 0.5 s threshold never cached — three of them
+    # landing inside bench's timed fusion loop masqueraded as a 271 ms
+    # per-integrate cost (round-3 xplane finding)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 class StageTimer:
