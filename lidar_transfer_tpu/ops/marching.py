@@ -85,9 +85,31 @@ def marching_tetrahedra(tsdf: np.ndarray, level: float = 0.0,
     # corner positions and values for candidate cells
     pos = idx[:, None, :] + _CORNERS[None, :, :]        # (C, 8, 3)
     vals = v[pos[..., 0], pos[..., 1], pos[..., 2]]     # (C, 8)
-    pos = pos.astype(np.float64)
+    tri, _, n = _tet_triangles(pos.astype(np.float64), vals, level)
+    if tri.shape[0] == 0:
+        return np.zeros((0, 3, 3), np.float32)
 
-    tris = []
+    # orient consistently: normal should point toward increasing TSDF
+    # (outside). Sample the gradient at the triangle centroid.
+    cent = tri.mean(axis=1)
+    grad = _tsdf_gradient(tsdf, cent)
+    flip = (n * grad).sum(axis=1) < 0
+    tri[flip] = tri[flip][:, ::-1, :]
+    return tri.astype(np.float32)
+
+
+def _tet_triangles(pos, vals, level):
+    """Shared tet core: candidate-cell corners -> triangle soup.
+
+    Args:
+      pos:  (C, 8, 3) float corner positions (grid coords)
+      vals: (C, 8) corner field values
+    Returns:
+      (tri (T,3,3) float64, cell (T,) int64 — source cell row of each
+      triangle, n (T,3) unnormalized normals) with degenerate slivers
+      dropped; triangles are NOT yet consistently oriented.
+    """
+    tris, cells = [], []
     for tet in _TETS:
         tv = vals[:, tet]                                # (C, 4)
         tp = pos[:, tet, :]                              # (C, 4, 3)
@@ -112,6 +134,7 @@ def marching_tetrahedra(tsdf: np.ndarray, level: float = 0.0,
                         v_lone, tv[sel][s_idx, others[:, k]], level)
                 for k in range(3)], axis=1)              # (S, 3, 3)
             tris.append(tri)
+            cells.append(sel)
 
         # case |S| == 2: quad between the two in/out pairs -> 2 triangles
         sel = np.where(n_in == 2)[0]
@@ -128,25 +151,92 @@ def marching_tetrahedra(tsdf: np.ndarray, level: float = 0.0,
             e_bc = _interp(tps[s, b], tps[s, c], tvs[s, b], tvs[s, c], level)
             e_bd = _interp(tps[s, b], tps[s, d], tvs[s, b], tvs[s, d], level)
             tris.append(np.stack([e_ac, e_ad, e_bd], axis=1))
+            cells.append(sel)
             tris.append(np.stack([e_ac, e_bd, e_bc], axis=1))
+            cells.append(sel)
 
     if not tris:
-        return np.zeros((0, 3, 3), np.float32)
+        z = np.zeros((0, 3, 3), np.float64)
+        return z, np.zeros((0,), np.int64), np.zeros((0, 3), np.float64)
     tri = np.concatenate(tris, axis=0)
+    cell = np.concatenate(cells, axis=0)
 
     # drop degenerate slivers
     n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     area2 = np.linalg.norm(n, axis=1)
     keep = area2 > 1e-10
-    tri, n = tri[keep], n[keep]
+    return tri[keep], cell[keep], n[keep]
 
-    # orient consistently: normal should point toward increasing TSDF
-    # (outside). Sample the gradient at the triangle centroid.
-    cent = tri.mean(axis=1)
-    grad = _tsdf_gradient(tsdf, cent)
+
+def _trilinear_gradient(vals, local):
+    """Gradient of the cell's trilinear interpolant at local (u,v,w).
+
+    ``vals`` (C, 8) corner values in _CORNERS bit order (index =
+    x + 2y + 4z); ``local`` (C, 3) in [0,1]^3. Exact for the trilinear
+    field the marching interpolation lives in — unlike the classic
+    path's nearest-voxel central difference, it needs no volume access.
+    """
+    u, v, w = local[:, 0], local[:, 1], local[:, 2]
+    c = vals
+
+    def lerp2(a, b, t):
+        return a + (b - a) * t
+
+    # differences along each axis at the 4 opposite-face corner pairs,
+    # bilinearly weighted by the other two coords
+    dx = lerp2(lerp2(c[:, 1] - c[:, 0], c[:, 3] - c[:, 2], v),
+               lerp2(c[:, 5] - c[:, 4], c[:, 7] - c[:, 6], v), w)
+    dy = lerp2(lerp2(c[:, 2] - c[:, 0], c[:, 3] - c[:, 1], u),
+               lerp2(c[:, 6] - c[:, 4], c[:, 7] - c[:, 5], u), w)
+    dz = lerp2(lerp2(c[:, 4] - c[:, 0], c[:, 5] - c[:, 1], u),
+               lerp2(c[:, 6] - c[:, 2], c[:, 7] - c[:, 3], u), v)
+    return np.stack([dx, dy, dz], axis=1)
+
+
+def marching_tetrahedra_cells(cell_idx: np.ndarray, cell_vals: np.ndarray,
+                              level: float = 0.0,
+                              return_cells: bool = False):
+    """Marching tetrahedra over PRE-EXTRACTED candidate cells.
+
+    The volume-free companion of ``marching_tetrahedra`` for surfaces
+    whose candidate cells were compacted on device
+    (``ops.surface.extract_surface_cells``) — the full volume never
+    reaches the host. Geometry is identical to the classic path on the
+    same candidate set (same tet decomposition, same interpolation, same
+    emission order when ``cell_idx`` is in C order); triangle WINDING is
+    oriented by the trilinear gradient of the cell's own corners at the
+    triangle centroid instead of the classic nearest-voxel central
+    difference — equivalent for the trilinear surface model, but the two
+    may disagree on cells where the central difference samples beyond
+    the cell.
+
+    Args:
+      cell_idx:  (C, 3) integer cell coordinates
+      cell_vals: (C, 8) corner values in _CORNERS order
+      return_cells: also return (T,) row-into-``cell_idx`` per triangle
+                    (for attribute lookups without the volume)
+
+    Returns:
+      (T, 3, 3) float32 triangles in grid coords [, (T,) int64 cells].
+    """
+    empty = np.zeros((0, 3, 3), np.float32)
+    if cell_idx.shape[0] == 0:
+        return (empty, np.zeros((0,), np.int64)) if return_cells else empty
+    # keep the field values in their native dtype: the classic path
+    # interpolates in the volume's f32, and bitwise-identical triangles
+    # require the same arithmetic here
+    cell_vals = np.asarray(cell_vals)
+    pos = cell_idx[:, None, :].astype(np.float64) + _CORNERS[None, :, :]
+    tri, cell, n = _tet_triangles(pos, cell_vals, level)
+    if tri.shape[0] == 0:
+        return (empty, cell) if return_cells else empty
+    local = tri.mean(axis=1) - cell_idx[cell].astype(np.float64)
+    grad = _trilinear_gradient(cell_vals.astype(np.float64)[cell],
+                               np.clip(local, 0.0, 1.0))
     flip = (n * grad).sum(axis=1) < 0
     tri[flip] = tri[flip][:, ::-1, :]
-    return tri.astype(np.float32)
+    tri = tri.astype(np.float32)
+    return (tri, cell) if return_cells else tri
 
 
 def _tsdf_gradient(tsdf: np.ndarray, points: np.ndarray) -> np.ndarray:
@@ -163,12 +253,16 @@ def _tsdf_gradient(tsdf: np.ndarray, points: np.ndarray) -> np.ndarray:
     return np.stack([gx, gy, gz], axis=1)
 
 
-def dedupe_mesh(tri: np.ndarray, decimals: int = 5
-                ) -> tuple[np.ndarray, np.ndarray]:
+def dedupe_mesh(tri: np.ndarray, decimals: int = 5,
+                return_index: bool = False):
     """Triangle soup -> (verts (V,3), faces (T,3)) with shared vertices.
 
     Produces the indexed layout the reference's mesh consumers use
     (verts/faces arrays, fusion_lidar.py:434-436).
+    ``return_index`` additionally returns (V,) soup-vertex indices such
+    that ``verts == tri.reshape(-1, 3)[index]`` — the volume-free cells
+    path uses it to map each kept vertex back to its source triangle
+    (``index // 3``) for attribute lookups.
     """
     flat = tri.reshape(-1, 3)
     key = np.round(flat, decimals)
@@ -176,6 +270,8 @@ def dedupe_mesh(tri: np.ndarray, decimals: int = 5
                               return_inverse=True)
     verts = flat[first]
     faces = inv.reshape(-1, 3)
+    if return_index:
+        return verts.astype(np.float32), faces.astype(np.int32), first
     return verts.astype(np.float32), faces.astype(np.int32)
 
 

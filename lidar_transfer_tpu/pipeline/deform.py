@@ -576,7 +576,21 @@ class TransferEngine:
                            remission=res.remission, points=res.endpoints,
                            mask=res.hit, adaption="mergemesh-rolling")
 
-    def export_mesh(self, path: str, colorize=None) -> int:
+    # volumes at or above this size use the device-side surface-cell
+    # compaction instead of fetching the full state host-side (at the
+    # reference operating point the full fetch is 8.6 GB; the compacted
+    # candidate cells are ~1% of it)
+    _CELLS_EXTRACT_MIN_VOX = 1 << 24
+
+    def _use_cells_extract(self, extract: str) -> bool:
+        if extract not in ("auto", "cells", "host"):
+            raise ValueError(f"extract must be auto|cells|host: {extract!r}")
+        if extract != "auto":
+            return extract == "cells"
+        return int(np.prod(self.vol_dims)) >= self._CELLS_EXTRACT_MIN_VOX
+
+    def export_mesh(self, path: str, colorize=None,
+                    extract: str = "auto") -> int:
         """Extract and write the fused volume's surface mesh as PLY.
 
         ≡ the reference's per-frame ``fl.meshwrite("test.ply", ...)``
@@ -587,25 +601,52 @@ class TransferEngine:
         Args:
           colorize: optional (max_label, 3) uint8 LUT applied to the
             nearest-voxel label of each vertex.
+          extract: "host" fetches the full volume and marches host-side
+            (the classic path); "cells" compacts candidate surface cells
+            on device (ops/surface.py — same geometry, trilinear-gradient
+            winding, ~1% of the device->host bytes); "auto" picks
+            "cells" for volumes >= 2^24 voxels.
         """
-        from lidar_transfer_tpu.ops.marching import marching_tetrahedra
         from lidar_transfer_tpu.utils.plyio import write_ply
 
         state = self.fused_state()
-        tsdf = np.asarray(state.tsdf, np.float32)
-        tris = marching_tetrahedra(tsdf, 0.0)
         origin = np.asarray(getattr(self, "_last_origin",
                                     self.vol_spec.origin), np.float32)
+        if self._use_cells_extract(extract):
+            from lidar_transfer_tpu.ops.marching import (
+                marching_tetrahedra_cells)
+            from lidar_transfer_tpu.ops.surface import extract_surface_cells
+
+            want_labels = colorize is not None
+            cells = extract_surface_cells(
+                state.tsdf, state.label if want_labels else None,
+                want_labels=want_labels)
+            tris, tcell = marching_tetrahedra_cells(
+                cells.idx, cells.vals, 0.0, return_cells=True)
+            colors = None
+            if want_labels and tris.shape[0]:
+                g = np.rint(tris.reshape(-1, 3)).astype(np.int64)
+                # a rounded vertex is always a corner of its OWN cell
+                local = np.clip(
+                    g - cells.idx[np.repeat(tcell, 3)], 0, 1)
+                corner = local[:, 0] + 2 * local[:, 1] + 4 * local[:, 2]
+                lbl = cells.labels[np.repeat(tcell, 3), corner]
+                colors = colorize[np.clip(lbl, 0, colorize.shape[0] - 1)]
+        else:
+            from lidar_transfer_tpu.ops.marching import marching_tetrahedra
+
+            tsdf = np.asarray(state.tsdf, np.float32)
+            tris = marching_tetrahedra(tsdf, 0.0)
+            colors = None
+            if colorize is not None and tris.shape[0]:
+                g = np.clip(np.rint(tris.reshape(-1, 3)).astype(int), 0,
+                            np.asarray(self.vol_dims) - 1)
+                lbl = np.asarray(state.label, np.int32)[
+                    g[:, 0], g[:, 1], g[:, 2]]
+                colors = colorize[np.clip(lbl, 0, colorize.shape[0] - 1)]
         world = tris * self.vol_spec.voxel_size + origin
         verts = world.reshape(-1, 3)
         faces = np.arange(verts.shape[0], dtype=np.int32).reshape(-1, 3)
-        colors = None
-        if colorize is not None and verts.shape[0]:
-            g = np.clip(np.rint(tris.reshape(-1, 3)).astype(int), 0,
-                        np.asarray(self.vol_dims) - 1)
-            lbl = np.asarray(state.label, np.int32)[
-                g[:, 0], g[:, 1], g[:, 2]]
-            colors = colorize[np.clip(lbl, 0, colorize.shape[0] - 1)]
         write_ply(path, verts, faces, colors=colors)
         return faces.shape[0]
 
@@ -1114,29 +1155,71 @@ class TransferEngine:
         self._last_sources = ((ri, self.target.fov_up,
                                self.target.fov_down),)
 
-        tsdf = np.asarray(state.tsdf, np.float32)
-        label_vol = np.asarray(state.label, np.int32)
-        rem_vol = np.asarray(state.rem, np.float32)
         origin_np = np.asarray(origin, np.float32)
 
         verts_l, faces_l, lbl_l, rem_l = [], [], [], []
         v_off = 0
-        for c in np.unique(label_vol[label_vol > 0]):
-            # the category's own signed field: other categories' voxels
-            # read as +1 (outside), so the zero crossing wraps ONLY this
-            # category's band
-            field = np.where(label_vol == int(c), tsdf, np.float32(1.0))
-            tri = marching_tetrahedra(field, 0.0)
-            if tri.shape[0] == 0:
-                continue
-            verts, faces = dedupe_mesh(tri)
-            gi = np.clip(np.round(verts).astype(np.int64), 0,
-                         np.asarray(tsdf.shape) - 1)
-            verts_l.append(verts * self.vol_spec.voxel_size + origin_np)
-            faces_l.append(faces + v_off)
-            lbl_l.append(np.full(verts.shape[0], int(c), np.int32))
-            rem_l.append(rem_vol[gi[:, 0], gi[:, 1], gi[:, 2]])
-            v_off += verts.shape[0]
+        if self._use_cells_extract("auto"):
+            # device-side candidate compaction (ops/surface.py): the
+            # seam-aware candidate set is a superset of every
+            # per-category field's crossing cells, so each category's
+            # field is re-derivable from the K compacted cells' corner
+            # labels alone — no full-volume fetch, no per-category
+            # full-volume passes
+            from lidar_transfer_tpu.ops.marching import (
+                marching_tetrahedra_cells)
+            from lidar_transfer_tpu.ops.surface import (
+                extract_surface_cells)
+
+            cells = extract_surface_cells(
+                state.tsdf, state.label, state.rem, seams=True,
+                want_labels=True, want_rems=True)
+            cats = np.unique(cells.labels[cells.vals < 0]) \
+                if cells.idx.shape[0] else np.zeros((0,), np.int32)
+            for c in cats[cats > 0]:
+                fv = np.where(cells.labels == int(c), cells.vals,
+                              np.float32(1.0))
+                sub = np.flatnonzero((fv.min(axis=1) < 0)
+                                     & (fv.max(axis=1) >= 0))
+                tri, tcell = marching_tetrahedra_cells(
+                    cells.idx[sub], fv[sub], 0.0, return_cells=True)
+                if tri.shape[0] == 0:
+                    continue
+                verts, faces, vsoup = dedupe_mesh(tri, return_index=True)
+                # rounded vertex -> a corner of its OWN cell
+                g = np.round(verts).astype(np.int64)
+                rows = sub[tcell[vsoup // 3]]
+                local = np.clip(g - cells.idx[rows], 0, 1)
+                corner = (local[:, 0] + 2 * local[:, 1]
+                          + 4 * local[:, 2])
+                verts_l.append(verts * self.vol_spec.voxel_size
+                               + origin_np)
+                faces_l.append(faces + v_off)
+                lbl_l.append(np.full(verts.shape[0], int(c), np.int32))
+                rem_l.append(cells.rems[rows, corner])
+                v_off += verts.shape[0]
+        else:
+            tsdf = np.asarray(state.tsdf, np.float32)
+            label_vol = np.asarray(state.label, np.int32)
+            rem_vol = np.asarray(state.rem, np.float32)
+            for c in np.unique(label_vol[label_vol > 0]):
+                # the category's own signed field: other categories'
+                # voxels read as +1 (outside), so the zero crossing
+                # wraps ONLY this category's band
+                field = np.where(label_vol == int(c), tsdf,
+                                 np.float32(1.0))
+                tri = marching_tetrahedra(field, 0.0)
+                if tri.shape[0] == 0:
+                    continue
+                verts, faces = dedupe_mesh(tri)
+                gi = np.clip(np.round(verts).astype(np.int64), 0,
+                             np.asarray(tsdf.shape) - 1)
+                verts_l.append(verts * self.vol_spec.voxel_size
+                               + origin_np)
+                faces_l.append(faces + v_off)
+                lbl_l.append(np.full(verts.shape[0], int(c), np.int32))
+                rem_l.append(rem_vol[gi[:, 0], gi[:, 1], gi[:, 2]])
+                v_off += verts.shape[0]
 
         tH, tW = self.target.H, self.target.W
         if not verts_l:

@@ -1,0 +1,186 @@
+"""Device-side surface-cell extraction (ops/surface.py) and the
+volume-free marching path (ops/marching.marching_tetrahedra_cells).
+
+The cells path replaces the full-volume device->host fetch of the
+reference's mesh-export flow (TSDFVolume.get_volume + get_mesh,
+fusion_lidar.py:395-424) for big volumes; these tests pin its geometry
+to the classic full-volume path exactly (triangle sets, per-category
+fields, end-to-end catmesh)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_transfer_tpu.config import TransferConfig
+from lidar_transfer_tpu.datasets import KittiSequence
+from lidar_transfer_tpu.ops.marching import (_CORNERS, marching_tetrahedra,
+                                             marching_tetrahedra_cells)
+from lidar_transfer_tpu.ops.surface import extract_surface_cells
+from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+CAP = 8192
+
+
+def _random_volume(seed=0, dims=(19, 23, 17)):
+    rng = np.random.default_rng(seed)
+    tsdf = rng.standard_normal(dims).astype(np.float32)
+    labels = rng.integers(0, 4, dims).astype(np.int16)
+    rem = rng.random(dims).astype(np.float32)
+    return tsdf, labels, rem
+
+
+def _tri_keys(t):
+    """Winding-independent triangle identity."""
+    return np.sort(t.reshape(t.shape[0], 9).round(5), axis=1)
+
+
+def test_extraction_matches_numpy_enumeration():
+    tsdf, labels, rem = _random_volume()
+    X, Y, Z = tsdf.shape
+    cells = extract_surface_cells(
+        jnp.asarray(tsdf), jnp.asarray(labels), jnp.asarray(rem),
+        want_labels=True, want_rems=True, x_chunk=7)
+
+    mn = mx = tsdf[:-1, :-1, :-1]
+    for dx, dy, dz in _CORNERS[1:]:
+        c = tsdf[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+        mn = np.minimum(mn, c)
+        mx = np.maximum(mx, c)
+    idx_ref = np.argwhere((mn < 0) & (mx >= 0)).astype(np.int32)
+    assert np.array_equal(cells.idx, idx_ref)
+    pos = idx_ref[:, None, :] + _CORNERS[None]
+    assert np.array_equal(cells.vals,
+                          tsdf[pos[..., 0], pos[..., 1], pos[..., 2]])
+    assert np.array_equal(
+        cells.labels,
+        labels[pos[..., 0], pos[..., 1], pos[..., 2]].astype(np.int32))
+    assert np.array_equal(cells.rems,
+                          rem[pos[..., 0], pos[..., 1], pos[..., 2]])
+
+
+def test_cells_marching_matches_classic():
+    tsdf, _, _ = _random_volume(seed=1)
+    cells = extract_surface_cells(jnp.asarray(tsdf), x_chunk=5)
+    tri_ref = marching_tetrahedra(tsdf, 0.0)
+    tri_cells, tcell = marching_tetrahedra_cells(
+        cells.idx, cells.vals, 0.0, return_cells=True)
+    assert tri_ref.shape == tri_cells.shape
+    assert np.array_equal(_tri_keys(tri_ref), _tri_keys(tri_cells))
+    # every triangle lies inside its reported cell
+    lo = cells.idx[tcell][:, None, :]
+    assert (tri_cells >= lo - 1e-4).all()
+    assert (tri_cells <= lo + 1 + 1e-4).all()
+
+
+def test_cells_winding_on_smooth_field():
+    """On a smooth SDF the trilinear-corner winding must agree with the
+    classic central-difference winding and point outward."""
+    n = 33
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    sdf = np.sqrt(((g - 16.0) ** 2).sum(0)) - 10.0
+    tri_ref = marching_tetrahedra(sdf, 0.0)
+    cells = extract_surface_cells(jnp.asarray(sdf), x_chunk=16)
+    tri_c = marching_tetrahedra_cells(cells.idx, cells.vals, 0.0)
+    assert tri_ref.shape == tri_c.shape
+    assert np.all(np.isclose(tri_ref, tri_c))
+    nrm = np.cross(tri_c[:, 1] - tri_c[:, 0], tri_c[:, 2] - tri_c[:, 0])
+    outward = ((tri_c.mean(1) - 16.0) * nrm).sum(1) > 0
+    assert outward.all()
+
+
+def test_seam_cells_cover_every_category_field():
+    """The seam-aware candidate set must reproduce every per-category
+    field's surface exactly (the catmesh contract)."""
+    tsdf, labels, _ = _random_volume(seed=2)
+    cs = extract_surface_cells(jnp.asarray(tsdf), jnp.asarray(labels),
+                               seams=True, want_labels=True, x_chunk=6)
+    plain = extract_surface_cells(jnp.asarray(tsdf), x_chunk=6)
+    assert set(map(tuple, plain.idx.tolist())) <= \
+        set(map(tuple, cs.idx.tolist()))
+    for c in np.unique(labels[labels > 0]):
+        field = np.where(labels == c, tsdf, np.float32(1.0))
+        t_ref = marching_tetrahedra(field, 0.0)
+        fv = np.where(cs.labels == c, cs.vals, np.float32(1.0))
+        sub = (fv.min(1) < 0) & (fv.max(1) >= 0)
+        t_dev = marching_tetrahedra_cells(cs.idx[sub], fv[sub], 0.0)
+        assert t_ref.shape == t_dev.shape
+        assert np.array_equal(_tri_keys(t_ref), _tri_keys(t_dev))
+
+
+def test_empty_volume():
+    tsdf = np.ones((9, 9, 9), np.float32)
+    cells = extract_surface_cells(jnp.asarray(tsdf), x_chunk=4)
+    assert cells.idx.shape == (0, 3)
+    tri = marching_tetrahedra_cells(cells.idx, cells.vals, 0.0)
+    assert tri.shape == (0, 3, 3)
+
+
+def _make_cfg(**kw):
+    base = dict(adaption="catmesh", number_of_scans=1,
+                preserve_float=True, voxel_size=0.25,
+                voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    base.update(kw)
+    return TransferConfig(**base)
+
+
+def test_catmesh_cells_path_identical(synthetic_dataset, small_spec):
+    """catmesh via the device cells extraction == the classic
+    full-volume-fetch catmesh: same triangles, so the raycast agrees to
+    vertex-dedup rounding (winding differences change WHICH duplicate
+    vertex dedupe_mesh keeps — sub-1e-5 coordinate perturbations)."""
+    cfg = _make_cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    eng_host = TransferEngine(small_spec, small_spec, cfg, CAP)
+    vs_host, _ = eng_host.transfer(window)
+
+    eng_cells = TransferEngine(small_spec, small_spec, cfg, CAP)
+    eng_cells._CELLS_EXTRACT_MIN_VOX = 0          # force the cells path
+    vs_cells, _ = eng_cells.transfer(window)
+
+    mask_h = np.asarray(vs_host.mask)
+    mask_c = np.asarray(vs_cells.mask)
+    assert np.array_equal(mask_h, mask_c)
+    both = mask_h & mask_c
+    assert np.allclose(np.asarray(vs_host.range)[both],
+                       np.asarray(vs_cells.range)[both], atol=1e-3)
+    lbl_agree = (np.asarray(vs_host.label)[both]
+                 == np.asarray(vs_cells.label)[both])
+    # label flips are only possible at category-seam epsilon ties
+    # (documented engine note in catmesh)
+    assert lbl_agree.mean() > 0.999
+    # a vertex whose crossing sits near t=0.5 rounds to either cell
+    # corner depending on the kept duplicate — its nearest-grid-point
+    # remission legitimately flips; bound the flip rate, not the values
+    rem_close = np.isclose(np.asarray(vs_host.remission)[both][lbl_agree],
+                           np.asarray(vs_cells.remission)[both][lbl_agree],
+                           atol=1e-3)
+    assert rem_close.mean() > 0.99
+
+
+def test_export_mesh_cells_path(synthetic_dataset, small_spec, tmp_path):
+    """export_mesh via cells extraction writes the same vertex set as
+    the classic path (winding may differ per the documented trilinear
+    orientation)."""
+    cfg = _make_cfg(adaption="mergemesh")
+    seq = KittiSequence.open(synthetic_dataset)
+    window = load_window(seq, cfg, 2, CAP)
+
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    eng.transfer(window)
+    n_host = eng.export_mesh(str(tmp_path / "host.ply"), extract="host")
+
+    eng2 = TransferEngine(small_spec, small_spec, cfg, CAP)
+    eng2.transfer(window)
+    n_cells = eng2.export_mesh(str(tmp_path / "cells.ply"),
+                               extract="cells")
+    assert n_host == n_cells
+
+    from lidar_transfer_tpu.utils.plyio import read_ply
+    vh, fh = read_ply(str(tmp_path / "host.ply"))
+    vc, fc = read_ply(str(tmp_path / "cells.ply"))
+    assert vh.shape == vc.shape
+    order_h = np.lexsort(vh.T)
+    order_c = np.lexsort(vc.T)
+    assert np.allclose(vh[order_h], vc[order_c], atol=1e-5)
