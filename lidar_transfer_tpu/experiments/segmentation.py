@@ -261,11 +261,15 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
 
 def write_predictions(dataset: str, out_root: str, model, params, mapper,
                       spec, *, sequences=("00",), cfg=None,
-                      verbose: bool = True, batch: int = 8) -> int:
+                      verbose: bool = True, batch: int = 8,
+                      knn: bool = False, knn_k: int = 5,
+                      knn_ksize: int = 5, knn_cutoff: float = 1.0) -> int:
     """Run inference over sequences; write semantic-kitti predictions tree.
 
-    Per-POINT labels: each point gets the class of its range-image pixel
-    (the standard RangeNet post-processing without KNN refinement).
+    Per-POINT labels: each point gets the class of its range-image pixel;
+    with ``knn=True`` the RangeNet++ KNN cleanup refines it (each point
+    votes over the k range-nearest window neighbors — the reference's
+    bonnetal infer.py post-processor; ``models/postproc.py``).
     Returns the number of scans written.
 
     The per-point lookup and index->raw-id mapping run on device; scan
@@ -309,11 +313,21 @@ def write_predictions(dataset: str, out_root: str, model, params, mapper,
             feats = range_image_features(ri.range, xyz, ri.remission,
                                          ri.mask)
             pred_img = infer(model, params, feats[None])[0]
-            # per-point lookup through each point's pixel (flat 1-D take;
-            # padded entries clip to 0 and are sliced off at write time)
-            flat = jnp.clip(ri.point_v, 0, spec.H - 1) * spec.W \
-                + jnp.clip(ri.point_u, 0, spec.W - 1)
-            pred_pts = jnp.take(pred_img.reshape(-1), flat)
+            if knn:
+                from lidar_transfer_tpu.models.postproc import knn_cleanup
+
+                pred_pts = knn_cleanup(
+                    ri.range, pred_img, ri.mask,
+                    jnp.linalg.norm(jnp.asarray(p), axis=-1),
+                    ri.point_u, ri.point_v, ri.point_valid,
+                    num_classes=mapper.num_classes, k=knn_k,
+                    ksize=knn_ksize, cutoff=knn_cutoff)
+            else:
+                # per-point lookup through each point's pixel (flat 1-D
+                # take; padded entries clip to 0, sliced off at write time)
+                flat = jnp.clip(ri.point_v, 0, spec.H - 1) * spec.W \
+                    + jnp.clip(ri.point_u, 0, spec.W - 1)
+                pred_pts = jnp.take(pred_img.reshape(-1), flat)
             raw = raw_lut[jnp.clip(pred_pts, 0,
                                    mapper.num_classes - 1)]
             return raw, pts.shape[0]
@@ -415,6 +429,11 @@ def main(argv=None) -> int:
     pi.add_argument("--sequences", "-s", nargs="+", default=["00"])
     pi.add_argument("--model", "-m", required=True)
     pi.add_argument("--out", "-p", required=True)
+    pi.add_argument("--knn", action="store_true",
+                    help="RangeNet++ KNN label cleanup per point.")
+    pi.add_argument("--knn-k", type=int, default=5)
+    pi.add_argument("--knn-ksize", type=int, default=5)
+    pi.add_argument("--knn-cutoff", type=float, default=1.0)
     pi.add_argument("--cpu", action="store_true")
 
     pe = sub.add_parser("eval")
@@ -450,7 +469,10 @@ def main(argv=None) -> int:
         model, params, mapper, spec = load_checkpoint(args.model)
         n = write_predictions(args.dataset, args.out, model,
                               params, mapper, spec,
-                              sequences=tuple(args.sequences))
+                              sequences=tuple(args.sequences),
+                              knn=args.knn, knn_k=args.knn_k,
+                              knn_ksize=args.knn_ksize,
+                              knn_cutoff=args.knn_cutoff)
         print(f"{n} scans inferred")
     else:
         res = evaluate_semantics(args.dataset, args.predictions,

@@ -142,6 +142,28 @@ def test_infer_eval_cycle(tmp_path, synthetic_dataset, trained_tiny):
     assert 10 in res["iou_per_class"]          # car class reported
 
 
+def test_infer_with_knn_cleanup(tmp_path, synthetic_dataset, trained_tiny):
+    """--knn inference path (RangeNet++ KNN postproc) writes valid labels
+    and only changes points relative to the plain pixel-lookup path."""
+    model, params, mapper, spec = trained_tiny
+    plain_root = str(tmp_path / "plain")
+    knn_root = str(tmp_path / "knn")
+    segmentation.write_predictions(
+        synthetic_dataset, plain_root, model, params, mapper, spec,
+        sequences=("00",), verbose=False)
+    n = segmentation.write_predictions(
+        synthetic_dataset, knn_root, model, params, mapper, spec,
+        sequences=("00",), verbose=False, knn=True)
+    assert n == 5
+    f = os.path.join("sequences", "00", "predictions", "000000.label")
+    plain = np.fromfile(os.path.join(plain_root, f), np.uint32)
+    knn = np.fromfile(os.path.join(knn_root, f), np.uint32)
+    assert knn.shape == plain.shape
+    assert set(np.unique(knn)) <= set(mapper.raw_ids)
+    # the vote is a cleanup, not a rewrite: most points keep their label
+    assert (knn == plain).mean() > 0.5
+
+
 def test_evaluate_perfect_predictions(tmp_path, synthetic_dataset):
     """Ground truth copied as predictions -> mIoU == 1 on present classes."""
     from lidar_transfer_tpu.datasets import kitti
