@@ -246,10 +246,10 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
             # stream (CLAUDE.md hot-path rule); fetch only when printing
             if verbose and (step % 10 == 0 or step == steps - 1):
                 print(f"step {step}: loss {float(loss):.4f}")
-        if (checkpoint_path and checkpoint_every
-                and (step + 1) % checkpoint_every == 0):
-            save_checkpoint(checkpoint_path, model, params, mapper, spec,
-                            opt_state=opt_state, step=step + 1)
+            if (checkpoint_path and checkpoint_every
+                    and (step + 1) % checkpoint_every == 0):
+                save_checkpoint(checkpoint_path, model, params, mapper,
+                                spec, opt_state=opt_state, step=step + 1)
     if checkpoint_path:
         # final state, resumable: a finished run can be extended with a
         # larger ``steps`` + ``resume=True`` (the periodic saves above

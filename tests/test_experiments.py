@@ -122,6 +122,32 @@ def test_train_resume_matches_straight_run(tmp_path, synthetic_dataset):
             resume=True, **kw)
 
 
+def test_periodic_checkpoints_fire_mid_run(tmp_path, synthetic_dataset,
+                                           monkeypatch):
+    """``checkpoint_every=N`` must save DURING the loop (that's what lets
+    a killed run resume), not only once after it finishes — regression
+    for the save block falling out of the training loop."""
+    mapper = segmentation.LabelMapper.from_labels(
+        dict(TransferConfig().labels))
+    model_cfg = RangeNetConfig.tiny(num_classes=mapper.num_classes)
+    saved_steps = []
+    real_save = segmentation.save_checkpoint
+
+    def spy(path, model, params, mapper, spec, *, opt_state=None,
+            step=None):
+        saved_steps.append(step)
+        real_save(path, model, params, mapper, spec,
+                  opt_state=opt_state, step=step)
+
+    monkeypatch.setattr(segmentation, "save_checkpoint", spy)
+    segmentation.train_segmentation(
+        synthetic_dataset, steps=5, batch_size=1, model_cfg=model_cfg,
+        verbose=False, use_mesh=False, seed=3,
+        checkpoint_path=str(tmp_path / "c.pkl"), checkpoint_every=2)
+    # periodic saves after steps 2 and 4, final save at 5
+    assert saved_steps == [2, 4, 5]
+
+
 def test_infer_eval_cycle(tmp_path, synthetic_dataset, trained_tiny):
     model, params, mapper, spec = trained_tiny
     pred_root = str(tmp_path / "preds")
