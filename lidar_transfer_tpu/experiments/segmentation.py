@@ -317,8 +317,7 @@ def write_predictions(dataset: str, out_root: str, model, params, mapper,
                 from lidar_transfer_tpu.models.postproc import knn_cleanup
 
                 pred_pts = knn_cleanup(
-                    ri.range, pred_img, ri.mask,
-                    jnp.linalg.norm(jnp.asarray(p), axis=-1),
+                    ri.range, pred_img, ri.mask, ri.point_depth,
                     ri.point_u, ri.point_v, ri.point_valid,
                     num_classes=mapper.num_classes, k=knn_k,
                     ksize=knn_ksize, cutoff=knn_cutoff)

@@ -917,7 +917,7 @@ class TransferEngine:
                 remission=jnp.stack([o.remission for o in outs]),
                 points=jnp.stack([o.points for o in outs]),
                 mask=jnp.stack([o.mask for o in outs]),
-                adaption="mergemesh")
+                adaption=outs[0].adaption)
         fn = getattr(self, "_mm_jit_stream", None)
         if fn is None:
             def stream(ws):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 
 class Prefetcher:
@@ -64,12 +65,17 @@ class Prefetcher:
             raise RuntimeError(f"prefetch of index {i} failed") from err
         return i, value
 
-    def close(self):
+    def close(self, timeout: float = 10.0):
         self._closed.set()
         # Drain until the worker exits: a single drain can race with one
         # in-flight put — the worker then blocks forever on the final
-        # _STOP put into the re-filled queue (leaked thread).
-        while self._worker.is_alive():
+        # _STOP put into the re-filled queue (leaked thread). But the
+        # worker can ALSO be stuck inside load_fn itself (a device op
+        # through a sick tunnel hangs for minutes — CLAUDE.md), so bound
+        # the wait: past ``timeout`` we abandon the daemon thread (it
+        # cannot block interpreter exit) instead of freezing the caller.
+        deadline = time.monotonic() + timeout
+        while self._worker.is_alive() and time.monotonic() < deadline:
             try:
                 while True:
                     self._q.get_nowait()

@@ -25,13 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-if os.environ.get("LT_JAX_CACHE"):
-    # opt into the SAME persistent compile cache bench.py uses, to time
-    # the exact executables a bench run would replay (the remote compiler
-    # is nondeterministic between cache misses — a bad draw is pinned
-    # forever by the cache)
-    from lidar_transfer_tpu.utils import setup_compile_cache
-    setup_compile_cache()
+# join the SAME persistent compile cache bench.py uses (it defaults to
+# /tmp/jax_cache_lt when LT_JAX_CACHE is unset), to time the exact
+# executables a bench run would replay (the remote compiler is
+# nondeterministic between cache misses — a bad draw is pinned forever
+# by the cache)
+from lidar_transfer_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache()
 
 from lidar_transfer_tpu.ops.tsdf import VolumeSpec
 from lidar_transfer_tpu.ops import tsdf_pallas as tp
