@@ -59,10 +59,11 @@ def parse_args(argv=None):
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--nscans", type=int, default=1)
-    ap.add_argument("--stream", type=int, default=16,
+    ap.add_argument("--stream", type=int, default=64,
                     help="Frames per device program (lax.scan mini-batch) "
-                         "for the headline throughput; 0 = per-frame "
-                         "dispatch only.")
+                         "for the headline throughput; a 2x-batch point "
+                         "is also taken when the budget allows; 0 = "
+                         "per-frame dispatch only.")
     ap.add_argument("--identity", action="store_true",
                     help="identity 64x2048 target instead of 32 beams "
                          "(BASELINE.md protocol's second operating point)")
@@ -417,24 +418,38 @@ def measure(args):
     # gather-free rewrite the per-program launch overhead (~1.8 ms
     # through the remote runtime) dominates the 2.6 ms device frame;
     # mini-batching amortizes it.
-    if args.stream > 0 and remaining() > 60:
-        set_phase(f"streamed throughput (batch {args.stream})")
-        F = args.stream
+    def streamed_phase(F):
+        set_phase(f"streamed throughput (batch {F})")
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (F,) + x.shape), window)
         sv = eng.transfer_stream(stacked)          # compile
         sync(sv.range)
-        # ≥3 pipelined batches so one batch's launch/sync can't dominate
-        n_batches = max(3, args.frames // F)
+        # enough pipelined batches that one batch's launch/sync or a
+        # single tunnel hiccup can't dominate (3 batches read 141 and
+        # 356 scans/s back-to-back in the same compile regime)
+        n_batches = max(6, args.frames // F)
+        trace_dir = os.environ.get("LT_BENCH_TRACE_STREAM")
+        trace = (jax.profiler.trace(trace_dir) if trace_dir
+                 else contextlib.nullcontext())
         t0 = time.perf_counter()
-        souts = [eng.transfer_stream(stacked) for _ in range(n_batches)]
-        sync(souts[-1].range)
+        with trace:
+            souts = [eng.transfer_stream(stacked)
+                     for _ in range(n_batches)]
+            sync(souts[-1].range)
         s_dt = time.perf_counter() - t0
         s_sps = n_batches * F / s_dt
         log(f"{n_batches}x{F} streamed frames in {s_dt:.2f}s -> "
             f"{s_sps:.2f} scans/s, "
             f"{s_sps*rays/1e6:.1f} Mrays/s synthesized")
         record(s_sps, note=f", stream {F}")
+
+    if args.stream > 0 and remaining() > 60:
+        streamed_phase(args.stream)
+        # the measured batch curve keeps climbing toward the device
+        # floor (16/32/64/128 -> 333/389/417/440 scans/s, docs/PERF.md);
+        # when the budget is healthy, also take the 2F point
+        if remaining() > 120:
+            streamed_phase(2 * args.stream)
     elif args.stream > 0:
         log("skipping streamed phase (budget)")
 
