@@ -414,8 +414,12 @@ def main(argv=None) -> int:
     pt.add_argument("--steps", type=int, default=100)
     pt.add_argument("--batch-size", type=int, default=1)
     pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--arch", default="darknet21",
+                    choices=["darknet53", "darknet21", "tiny"],
+                    help="Backbone (darknet53 = bonnetal's published "
+                         "shape; darknet21 default; tiny = smoke).")
     pt.add_argument("--tiny", action="store_true",
-                    help="Tiny model (tests/smoke).")
+                    help="Alias for --arch tiny (tests/smoke).")
     pt.add_argument("--out", default="seg_model.pkl")
     pt.add_argument("--save-every", type=int, default=0,
                     help="Checkpoint --out every N steps (resumable).")
@@ -450,13 +454,12 @@ def main(argv=None) -> int:
     if args.cmd == "train":
         from lidar_transfer_tpu.models import RangeNetConfig
 
-        model_cfg = None
-        if args.tiny:
-            from lidar_transfer_tpu.config import TransferConfig
-            mapper = LabelMapper.from_labels(
-                dict(TransferConfig().labels))
-            model_cfg = RangeNetConfig.tiny(
-                num_classes=mapper.num_classes)
+        from lidar_transfer_tpu.config import TransferConfig
+
+        arch = "tiny" if args.tiny else args.arch
+        mapper = LabelMapper.from_labels(dict(TransferConfig().labels))
+        model_cfg = getattr(RangeNetConfig, arch)(
+            num_classes=mapper.num_classes)
         model, params, mapper, spec = train_segmentation(
             args.dataset, sequences=tuple(args.sequences),
             steps=args.steps, batch_size=args.batch_size,

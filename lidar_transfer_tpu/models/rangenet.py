@@ -46,6 +46,12 @@ class RangeNetConfig:
     input_channels: int = 5
 
     @classmethod
+    def darknet53(cls, num_classes: int = 34) -> "RangeNetConfig":
+        """The default config, named: lidar-bonnetal's published
+        darknet53 backbone shape (1,2,8,8,4 residual stages)."""
+        return cls(num_classes=num_classes)
+
+    @classmethod
     def darknet21(cls, num_classes: int = 34) -> "RangeNetConfig":
         return cls(num_classes=num_classes, stage_blocks=(1, 1, 2, 2, 1))
 

@@ -859,8 +859,11 @@ class TransferEngine:
         runs under ``lax.scan`` so the whole batch is a single launch.
         After the gather-free rewrite the single-frame path is dominated
         by per-program launch overhead (~1.8 ms through the remote
-        runtime vs a 2.6 ms device frame); batching amortizes it
-        (measured 227 -> 366 scans/s at F=16, bench.py --stream).
+        runtime vs a 2.6 ms device frame); batching amortizes it, and
+        the gain keeps climbing with F (fetch-synced 6-batch loops:
+        333/389/417/443 scans/s at F=16/32/64/128 — within 5% of the
+        2.17 ms/frame device floor at F=128; bench.py --stream,
+        docs/PERF.md round-3 close-out).
 
         Returns a VirtualScan whose fields have the leading frame axis.
         ``fused_state()`` afterwards refers to the LAST frame. Falls back
