@@ -59,14 +59,21 @@ def max_end_index(nscans: int, length: int) -> int:
 @dataclasses.dataclass
 class ScanWindow:
     """A padded window of scans. Points are raw (sensor frame); ``rel_pose``
-    maps each scan into the primary scan's frame."""
+    maps each scan into the primary scan's frame.
+
+    ``primary_index`` is the primary scan's ROW within the window (0 by
+    ``window_indices`` construction — the primary is always stacked
+    first). It is static jit metadata, so it must NOT carry per-frame
+    values like the sequence index: that forced a full retrace + remote
+    relower of every engine program per frame on the CLI path (the jit
+    cache keys on meta_fields)."""
 
     points: jax.Array       # (S, C, 3) f32
     remissions: jax.Array   # (S, C) f32
     labels: jax.Array       # (S, C) i32
     valid: jax.Array        # (S, C) bool
     rel_pose: jax.Array     # (S, 4, 4) f32: inv(pose[primary]) @ pose[i]
-    primary_index: int
+    primary_index: int = 0
 
     @property
     def nscans(self) -> int:
@@ -79,7 +86,20 @@ class ScanWindow:
 
 def load_window(seq: KittiSequence, cfg: TransferConfig, idx: int,
                 capacity: int) -> ScanWindow:
-    """Read, pad, and mask a scan window from a KITTI sequence."""
+    """Read, pad, and mask a scan window from a KITTI sequence.
+
+    Raises IndexError when the centered window does not fit the
+    sequence: Python's negative indexing would otherwise silently wrap
+    ``seq.read(-1)``/``seq.poses[-1]`` to the END of the sequence and
+    merge a temporally distant scan with a wildly wrong relative pose
+    (callers guard with ``min_start_index``/``max_end_index``, ≡ the
+    reference's automatic offset at lidar_deform.py:386-390)."""
+    n = cfg.number_of_scans
+    if not (min_start_index(n) <= idx < max_end_index(n, len(seq))):
+        raise IndexError(
+            f"window of {n} scans around index {idx} does not fit the "
+            f"{len(seq)}-scan sequence (valid primary range: "
+            f"[{min_start_index(n)}, {max_end_index(n, len(seq))}))")
     idxs = window_indices(cfg.number_of_scans, idx)
     pose_primary_inv = np.linalg.inv(seq.poses[idx])
     extra = cfg.transformation_matrix.astype(np.float64)
@@ -103,7 +123,6 @@ def load_window(seq: KittiSequence, cfg: TransferConfig, idx: int,
         labels=jnp.asarray(np.stack(lbl_l)),
         valid=jnp.asarray(np.stack(val_l)),
         rel_pose=jnp.asarray(np.stack(rel_l)),
-        primary_index=idx,
     )
     return apply_class_masks(window, cfg.ignore_classes, cfg.moving_classes)
 
@@ -112,11 +131,9 @@ def stack_windows(wins: list[ScanWindow]) -> ScanWindow:
     """Stack F windows on a leading frame axis for
     ``TransferEngine.transfer_stream``.
 
-    ``primary_index`` is pytree METADATA (the primary scan's sequence
-    index) and differs per frame, so a naive ``jax.tree.map(stack)``
-    rejects the mismatch; the stacked window keeps the LAST frame's value
-    — the streamed engine's lazy consumers (``fused_state``, rolling
-    shutter) refer to the last frame.
+    (The streamed engine's lazy volume consumers — ``fused_state``,
+    rolling shutter — refer to the LAST stacked frame; ``fused_state``
+    warns when that applies.)
     """
     return ScanWindow(
         points=jnp.stack([w.points for w in wins]),
@@ -124,7 +141,7 @@ def stack_windows(wins: list[ScanWindow]) -> ScanWindow:
         labels=jnp.stack([w.labels for w in wins]),
         valid=jnp.stack([w.valid for w in wins]),
         rel_pose=jnp.stack([w.rel_pose for w in wins]),
-        primary_index=wins[-1].primary_index,
+        primary_index=wins[0].primary_index,
     )
 
 

@@ -46,6 +46,43 @@ def test_window_indices():
     assert window_indices(4, 5) == [5, 3, 4, 6]
 
 
+def test_load_window_is_jit_stable_across_frames(synthetic_dataset):
+    """Windows from different frames must hit the SAME jit trace:
+    regression for primary_index carrying the per-frame sequence index
+    as static pytree metadata, which retraced + relowered every engine
+    program once per frame on the CLI path."""
+    import jax
+
+    cfg = make_cfg(adaption="cp", number_of_scans=1)
+    seq = KittiSequence.open(synthetic_dataset)
+
+    calls = []
+
+    @jax.jit
+    def probe(w):
+        calls.append(1)          # runs only when tracing
+        return w.points.sum()
+
+    for idx in (1, 2, 3):
+        probe(load_window(seq, cfg, idx, CAP))
+    assert len(calls) == 1, (
+        f"{len(calls)} traces for 3 frames — ScanWindow static metadata "
+        "varies per frame again")
+
+
+def test_load_window_rejects_out_of_range_window(synthetic_dataset):
+    """A window that does not fit must raise, not wrap to seq end via
+    Python negative indexing (silently wrong poses)."""
+    import pytest
+
+    cfg = make_cfg(adaption="cp", number_of_scans=3)
+    seq = KittiSequence.open(synthetic_dataset)
+    with pytest.raises(IndexError):
+        load_window(seq, cfg, 0, CAP)           # needs one previous scan
+    with pytest.raises(IndexError):
+        load_window(seq, cfg, len(seq) - 1, CAP)  # needs one future scan
+
+
 def test_cp_identity_transfer(synthetic_dataset, small_spec):
     """cp with identical source/target must reproduce the source projection
     almost exactly (gate 3)."""
