@@ -125,7 +125,7 @@ def _sorted_files(directory: str, ext: str) -> list[str]:
     return names
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)   # identity hash: usable as a cache key
 class KittiSequence:
     """One SemanticKITTI sequence: scan/label file lists + poses + calib.
 

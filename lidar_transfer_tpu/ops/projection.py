@@ -5,10 +5,12 @@ methods (auxiliary/laserscan.py):
 
   - ``range_project``  ≡ ``do_range_projection_new(method="depth")``
     (laserscan.py:294-391). The reference's per-point Python z-buffer loop
-    (:372-382, the dominant CPU hot loop per SURVEY.md §3) is replaced by two
-    ``segment_min`` scatters: (1) min depth per pixel, (2) min original index
-    among depth-winners — which reproduces the loop's nearest-point,
-    first-come-tie-break semantics exactly.
+    (:372-382, the dominant CPU hot loop per SURVEY.md §3) is replaced by
+    ONE stable lexicographic sort by (pixel, depth) whose run starts are
+    the winners — reproducing the loop's nearest-point, first-come-
+    tie-break semantics exactly (the two-``segment_min``-scatter variant
+    is kept only as a semantics cross-check, ``method="segment"``;
+    the sort measured ~2.5x faster on TPU, docs/PERF.md).
   - ``reverse_project`` ≡ ``do_reverse_projection_new`` (laserscan.py:475-501)
     including the ``preserve_float`` option.
   - beam-angle snapping ≡ the per-point nearest-beam loop
@@ -204,6 +206,33 @@ def _pixel_keys(points, valid, fov_up_deg, fov_down_deg, beam_angles,
     return pix, depth_key, depth, uf, vf, px, py, valid
 
 
+def _winner_sort(pix, key, npix):
+    """THE z-buffer: one stable lexicographic sort by (pixel, key); the
+    first element of each pixel run is the winner.
+
+    Shared by every winner-selection path (``_range_project_impl``,
+    ``_winner_flags_impl``, ``_winner_order_impl``,
+    ``ops.splat._target_assemble``) so the tie-break and overflow-segment
+    semantics cannot diverge: the sort is STABLE (lax.sort default), so
+    exact-key ties keep original order and the run start is the lowest
+    original index — byte-identical to the reference loop's strict '<'
+    z-buffer (laserscan.py:376-377) with the index riding as payload.
+    ~2.5x faster than scatter-min on TPU (collision-heavy scatter
+    serializes; sort is a vectorized bitonic network). Invalid points
+    carry ``pix == npix`` (the overflow segment) and are masked out of
+    ``is_first``.
+
+    Returns (sp, si, is_first): pixels in sorted order, the permutation
+    into original point order, and the run-start (winner) flags.
+    """
+    n = pix.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    sp, _, si = jax.lax.sort((pix, key, idx), num_keys=2)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    return sp, si, is_first
+
+
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "method", "beam_rows",
                                     "winner"))
@@ -218,18 +247,7 @@ def _range_project_impl(points, remissions, labels, valid,
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
 
     if method == "sort":
-        # ONE lexicographic sort by (pixel, depth): the first element of
-        # each pixel run is the nearest point; the sort is STABLE
-        # (lax.sort default), so ties keep original order and the first
-        # occurrence is the lowest original index — byte-identical
-        # semantics to the reference loop's strict '<' z-buffer
-        # (laserscan.py:376-377) with the index riding as payload instead
-        # of a third comparator key. ~2.5x faster than scatter-min on TPU
-        # (collision-heavy scatter serializes; sort is a vectorized
-        # bitonic network).
-        sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
-        is_first = jnp.concatenate(
-            [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+        sp, si, is_first = _winner_sort(pix, depth_key, npix)
         tgt = jnp.where(is_first, sp, npix)
         win_idx = jnp.full((npix + 1,), _INT32_MAX, jnp.int32).at[tgt].set(
             jnp.where(is_first, si, _INT32_MAX), mode="drop")[:npix]
@@ -273,6 +291,19 @@ def _range_project_impl(points, remissions, labels, valid,
         u_float=ufi, v_float=vfi,
         point_valid=valid, point_u=px, point_v=py,
         point_depth=depth.astype(jnp.float32))
+
+
+def _check_beam_rows(beam_rows, beam_angles, H):
+    """beam_rows assigns row = nearest beam: the image height must equal
+    the beam-table length or points silently vanish into the overflow
+    segment (rows >= H) / rows [B, H) never fill."""
+    if beam_rows:
+        if beam_angles is None:
+            raise ValueError("beam_rows=True requires beam_angles")
+        if beam_angles.shape[0] != H:
+            raise ValueError(
+                f"beam_rows: image height H={H} != {beam_angles.shape[0]} "
+                "beam angles")
 
 
 def range_project(points: jax.Array, remissions: jax.Array,
@@ -322,6 +353,7 @@ def range_project(points: jax.Array, remissions: jax.Array,
     fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
     if beam_angles is not None:
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    _check_beam_rows(beam_rows, beam_angles, H)
     return _range_project_impl(points, remissions, labels, valid,
                                fov_up_deg, fov_down_deg, beam_angles,
                                H, W, method, beam_rows, winner)
@@ -336,10 +368,7 @@ def _winner_flags_impl(points, valid, fov_up_deg, fov_down_deg,
     pix, depth_key, depth, _, _, _, _, valid = _pixel_keys(
         points, valid, fov_up_deg, fov_down_deg, beam_angles,
         H, W, beam_rows, winner)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    _, si, is_first = _winner_sort(pix, depth_key, npix)
     # si is a permutation of [0, n): one scatter maps the run-start flags
     # back to original point order
     is_winner = jnp.zeros((n,), bool).at[si].set(is_first)
@@ -355,10 +384,7 @@ def _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
     pix, depth_key, depth, _, _, _, _, valid = _pixel_keys(
         points, valid, fov_up_deg, fov_down_deg, beam_angles,
         H, W, beam_rows, winner)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    sp, _, si = jax.lax.sort((pix, depth_key, idx), num_keys=2)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    _, si, is_first = _winner_sort(pix, depth_key, npix)
     return si, is_first, depth
 
 
@@ -385,6 +411,7 @@ def project_winner_order(points: jax.Array, valid: jax.Array, *,
     fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
     if beam_angles is not None:
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    _check_beam_rows(beam_rows, beam_angles, H)
     return _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
                               beam_angles, H, W, beam_rows, winner)
 
@@ -416,6 +443,7 @@ def project_winners(points: jax.Array, valid: jax.Array, *,
     fov_down_deg = jnp.asarray(fov_down_deg, jnp.float32)
     if beam_angles is not None:
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
+    _check_beam_rows(beam_rows, beam_angles, H)
     return _winner_flags_impl(points, valid, fov_up_deg, fov_down_deg,
                               beam_angles, H, W, beam_rows, winner)
 

@@ -12,12 +12,19 @@ count is tiny and fixed:
      through the truncation band behind the surface — by construction
      exactly the voxels the class-aware integrate wrote
      (ops/tsdf.py parity notes; K = trunc/voxel = 5);
-  2. sample attributes (tsdf, label, remission) are fetched from the
-     fused volume — ~K x H x W gathers total, once per frame, not per
-     marching step;
-  3. all samples are z-buffered into the TARGET image with the same
-     scatter-min projection op the rest of the framework uses
-     (ops/projection.range_project) — the TPU-fast segment_min path;
+  2. sample attributes (tsdf, label, remission) come from the source
+     image itself on the hot paths (``_band_samples_image`` for one
+     fused image, ``_band_samples_fold`` replaying the class-aware
+     collision rule for S images) — ZERO volume reads; only the
+     materialized path (``_band_samples``) gathers from the volume,
+     ~K x H x W gathers once per frame, not per marching step.
+     Each ray further collapses to its ONE minimum-depth in-band sample
+     (min-over-partition argument below), so the target z-buffer sees
+     HW candidates, not K x HW;
+  3. candidates are z-buffered into the TARGET image by the same stable
+     (pixel, depth) sort used everywhere (``_target_assemble``, winner
+     set exactly ``range_project``'s), with all winner attributes
+     fetched by one row gather of a stacked (N, 8) matrix;
   4. the winning sample's stored TSDF value converts its depth to the
      zero-crossing depth: the sensor sits at the origin of both the
      source and target spherical grids, so the sample lies ON its target
@@ -60,13 +67,11 @@ def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
     """
     n = pos.shape[0]
     npix = H * W
+    P._check_beam_rows(beam_rows, beam_angles, H)
     pix, key, depth, uf, _, _, _, valid = P._pixel_keys(
         pos, valid, fov_up_deg, fov_down_deg, beam_angles,
         H, W, beam_rows, "depth")
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    sp, _, si = jax.lax.sort((pix, key, idx), num_keys=2)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (sp < npix)
+    sp, si, is_first = P._winner_sort(pix, key, npix)
     tgt = jnp.where(is_first, sp, npix)
     win_idx = jnp.full((npix + 1,), _INT32_MAX, jnp.int32).at[tgt].set(
         jnp.where(is_first, si, _INT32_MAX), mode="drop")[:npix]
@@ -121,7 +126,7 @@ def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
     static_argnames=("dims", "voxel_size", "samples_per_ray"))
 def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
                         valid_flat, vol_origin, active_dims, dims,
-                        voxel_size, samples_per_ray):
+                        voxel_size, samples_per_ray, trunc_margin):
     """Image-attributed band candidates: zero volume gathers, ONE
     candidate per source pixel (not K).
 
@@ -146,7 +151,9 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
     X, Y, Z = dims
     K = samples_per_ray
     vox = jnp.float32(voxel_size)
-    trunc = vox * 5.0
+    # single source of truth: VolumeSpec.trunc_margin (5 voxels,
+    # fusion_lidar.py:31) — must equal _target_assemble's correction
+    trunc = jnp.float32(trunc_margin)
     step = vox * 0.5
 
     safe_rng = jnp.maximum(rng_flat, 1e-6)
@@ -171,7 +178,12 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
     t = rng_flat + kd
     pos = dirs * t[:, None]
     tsdf_v = -kd / trunc
-    valid = valid_flat & found & (label_flat > 0)
+    # band membership is geometric only — label-0 (unlabeled) surfaces
+    # stay opaque, matching the fold / label_probe=False volume paths
+    # and the reference, whose get_mesh marches the full tsdf without
+    # label filtering (fusion_lidar.py:403-424); ignore-classes are
+    # masked out of the window long before this (apply_class_masks)
+    valid = valid_flat & found
     return pos, t, tsdf_v, label_flat.astype(jnp.int32), rem_flat, valid
 
 
@@ -179,7 +191,7 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
     jax.jit, static_argnames=("dims", "voxel_size", "samples_per_ray"))
 def _band_samples_fold(rng_s, pts_s, valid_s, label_s, rem_s,
                        vol_origin, active_dims, dims, voxel_size,
-                       samples_per_ray):
+                       samples_per_ray, trunc_margin):
     """Volume-FREE band candidates with EXACT class-aware collision
     semantics for S fused images on a shared grid (the mesh adaption).
 
@@ -212,7 +224,9 @@ def _band_samples_fold(rng_s, pts_s, valid_s, label_s, rem_s,
     S, HW = rng_s.shape
     K = samples_per_ray
     vox = jnp.float32(voxel_size)
-    trunc = vox * 5.0
+    # single source of truth: VolumeSpec.trunc_margin (5 voxels,
+    # fusion_lidar.py:31) — must equal _target_assemble's correction
+    trunc = jnp.float32(trunc_margin)
     step = vox * 0.5
 
     safe = jnp.maximum(rng_s, 1e-6)
@@ -427,7 +441,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
             _band_samples_image(lf, rf, r, p, v, vol_origin, active_f,
                                 dims=spec.dims,
                                 voxel_size=spec.voxel_size,
-                                samples_per_ray=samples_per_ray)
+                                samples_per_ray=samples_per_ray,
+                                trunc_margin=spec.trunc_margin)
             for (r, p, v, lf, rf) in sources
         ]
     elif attrs == "fold":
@@ -439,7 +454,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
             jnp.stack([rf for (_, _, _, _, rf) in sources]),
             vol_origin, active_f, dims=spec.dims,
             voxel_size=spec.voxel_size,
-            samples_per_ray=samples_per_ray)]
+            samples_per_ray=samples_per_ray,
+            trunc_margin=spec.trunc_margin)]
     else:
         parts = [
             _band_samples(state.tsdf, state.label, state.rem, r, p, v,

@@ -17,7 +17,9 @@ Rebuild of the reference's ``MultiSemLaserScan.open_multiple_scans``
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +86,12 @@ class ScanWindow:
         return self.points.shape[1]
 
 
+# per-sequence LRU of padded host tensors, keyed (scan_idx, capacity);
+# sized to cover a sliding window generously without pinning a sequence
+_scan_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SCAN_CACHE_MAX = 16
+
+
 def load_window(seq: KittiSequence, cfg: TransferConfig, idx: int,
                 capacity: int) -> ScanWindow:
     """Read, pad, and mask a scan window from a KITTI sequence.
@@ -101,13 +109,25 @@ def load_window(seq: KittiSequence, cfg: TransferConfig, idx: int,
             f"{len(seq)}-scan sequence (valid primary range: "
             f"[{min_start_index(n)}, {max_end_index(n, len(seq))}))")
     idxs = window_indices(cfg.number_of_scans, idx)
+    cache = _scan_cache.setdefault(seq, collections.OrderedDict())
     pose_primary_inv = np.linalg.inv(seq.poses[idx])
     extra = cfg.transformation_matrix.astype(np.float64)
 
     pts_l, rem_l, lbl_l, val_l, rel_l = [], [], [], [], []
     for slot, i in enumerate(idxs):
-        points, rem, labels = seq.read(i)
-        p, r, l, m = pad_points(points, rem, labels, capacity)
+        # consecutive windows share nscans-1 scans; cache the padded
+        # host tensors so streaming a sequence reads each file once,
+        # not nscans times (entries are treated as immutable)
+        key = (i, capacity)
+        if key in cache:
+            cache.move_to_end(key)
+            p, r, l, m = cache[key]
+        else:
+            points, rem, labels = seq.read(i)
+            p, r, l, m = pad_points(points, rem, labels, capacity)
+            cache[key] = (p, r, l, m)
+            while len(cache) > _SCAN_CACHE_MAX:
+                cache.popitem(last=False)
         pts_l.append(p)
         rem_l.append(r)
         lbl_l.append(l)
