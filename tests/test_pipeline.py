@@ -337,3 +337,27 @@ def test_beam_angles_target(synthetic_dataset, small_spec):
     nearest = np.min(np.abs(pitch[:, None]
                             - np.deg2rad(angles_deg)[None, :]), axis=1)
     assert np.median(nearest) < np.deg2rad(1.0)
+
+
+def test_load_window_scan_cache_shares_reads(synthetic_dataset,
+                                             monkeypatch):
+    """Sliding windows must read each scan file once, not nscans times
+    (the per-sequence padded-tensor LRU)."""
+    from lidar_transfer_tpu.pipeline import multiscan
+
+    cfg = make_cfg(adaption="cp", number_of_scans=3)
+    seq = KittiSequence.open(synthetic_dataset)
+    reads = []
+    real_read = seq.read
+
+    def counting_read(i):
+        reads.append(i)
+        return real_read(i)
+
+    monkeypatch.setattr(seq, "read", counting_read)
+    w1 = load_window(seq, cfg, 1, CAP)   # scans {1, 0, 2}
+    w2 = load_window(seq, cfg, 2, CAP)   # scans {2, 1, 3} — 2 cached
+    assert sorted(reads) == [0, 1, 2, 3], reads
+    # shared scan bit-identical across the two windows
+    np.testing.assert_array_equal(np.asarray(w1.points[2]),
+                                  np.asarray(w2.points[0]))

@@ -229,3 +229,27 @@ def test_sort_and_segment_methods_identical(rng, small_spec):
     np.testing.assert_array_equal(np.asarray(a.index), np.asarray(b.index))
     np.testing.assert_array_equal(np.asarray(a.range), np.asarray(b.range))
     np.testing.assert_array_equal(np.asarray(a.label), np.asarray(b.label))
+
+
+def test_beam_rows_requires_matching_height(rng):
+    """beam_rows assigns row = nearest beam: an image height that does
+    not match the beam table must raise instead of silently dropping
+    points into the overflow segment."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lidar_transfer_tpu.ops import projection as P
+
+    n = 100
+    pts = jnp.asarray(rng.uniform(-20, 20, (n, 3)).astype(np.float32))
+    val = jnp.ones((n,), bool)
+    beams = jnp.linspace(0.1, -0.4, 8)          # 8 beams
+    kw = dict(fov_up_deg=5.0, fov_down_deg=-25.0,
+              beam_angles=beams, beam_rows=True)
+    with pytest.raises(ValueError, match="beam"):
+        P.project_winner_order(pts, val, H=16, W=64, **kw)  # H != 8
+    with pytest.raises(ValueError, match="beam"):
+        P.range_project(pts, pts[:, 0], jnp.zeros((n,), jnp.int32),
+                        val, H=16, W=64, **kw)
+    # matching height is fine
+    P.project_winner_order(pts, val, H=8, W=64, **kw)
