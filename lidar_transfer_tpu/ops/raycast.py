@@ -125,7 +125,11 @@ def occupancy_grid(tsdf: jax.Array, block: int = 4) -> jax.Array:
     # blockwise any() via reduce_window — NOT a 6D reshape-max: XLA's tiled
     # (8,128) layout pads the tiny minor dims of the 6D view catastrophically
     # (a 2048^2x208 volume ballooned to >100 GB of padded reshape output)
-    touched = (tsdf.astype(jnp.float32) < 0.9999).astype(jnp.bfloat16)
+    # compare in the STORAGE dtype: an f32 astype of a reference-scale
+    # bf16 volume is a 4.3 GB transient next to the live 8.6 GB state
+    # (the OOM deform.py routes around); < 1.0 is exact in any dtype —
+    # init is exactly 1.0 and clamped far-band writes are too
+    touched = (tsdf < jnp.asarray(1.0, tsdf.dtype)).astype(jnp.bfloat16)
     coarse = jax.lax.reduce_window(
         touched, jnp.bfloat16(0), jax.lax.max,
         window_dimensions=(block, block, block),
@@ -146,32 +150,54 @@ def occupancy_grid(tsdf: jax.Array, block: int = 4) -> jax.Array:
 
 def occupancy_from_points(points: jax.Array, valid: jax.Array,
                           vol_origin, spec: VolumeSpec, block: int = 4,
-                          dilate_cells: int | None = None) -> jax.Array:
+                          dilate_cells: int | None = None,
+                          pixel_angle_rad: float = 0.0) -> jax.Array:
     """Coarse occupancy directly from the surface points (O(points), not
     O(voxels)).
 
-    The class-aware integrate only writes voxels within the truncation
-    band *behind* surface points (ops/tsdf.py parity notes), so every
-    touched voxel lies within trunc_margin of some scan point along its
-    ray. Marking the coarse cells containing the points and dilating by
-    ceil(trunc/block)+1 cells therefore covers all touched voxels plus a
-    one-cell fine-stepping margin — without scanning the full volume
+    The class-aware integrate writes voxels whose PIXEL depth lies within
+    the truncation band behind that pixel's winning point — i.e. within
+    trunc_margin radially, plus the pixel cone's LATERAL footprint
+    (a voxel can sit up to ``range x tan(pixel_angle)`` from the point
+    that claimed its pixel; at 70 m and a 64-beam row pitch that is
+    already ~0.5 m, and coarser sensors grow it linearly). The default
+    dilation covers trunc + that lateral spread (bounded by the volume
+    diagonal as the max in-volume range) + one fine-stepping margin cell;
+    pass the source's ``pixel_angle_rad`` (max per-pixel angular extent —
+    fov/H for uniform rows, the max adjacent-beam gap for beam tables)
+    for the bound to hold. Without it (0.0, the legacy radius) long-range
+    band voxels of coarse sensors can fall outside the occupancy and the
+    marcher would force tsdf=1 inside them (missed crossings).
+
+    Points slightly OUTSIDE the volume still mark their nearest boundary
+    cells (their pixel cones can write in-volume voxels near the faces);
+    far-outside points drop. All without scanning the full volume
     (872M-voxel volumes took ~76 ms/frame to scan; this is ~1 ms).
     """
     X, Y, Z = spec.dims
     cx = -(-X // block)
     cy = -(-Y // block)
     cz = -(-Z // block)
-    if dilate_cells is None:
-        trunc_voxels = spec.trunc_margin / spec.voxel_size   # = 5
-        dilate_cells = int(np.ceil(trunc_voxels / block)) + 1
-
     cell = spec.voxel_size * block
+    if dilate_cells is None:
+        margin_m = spec.trunc_margin
+        if pixel_angle_rad > 0.0:
+            diag = float(np.linalg.norm(
+                np.asarray(spec.dims, np.float64) * spec.voxel_size))
+            margin_m += diag * float(np.tan(pixel_angle_rad))
+        dilate_cells = int(np.ceil(margin_m / cell)) + 1
+
     g = (points - jnp.asarray(vol_origin, jnp.float32)[None, :]) / cell
     gi = jnp.floor(g).astype(jnp.int32)
-    inside = (valid & (gi[:, 0] >= 0) & (gi[:, 0] < cx) &
-              (gi[:, 1] >= 0) & (gi[:, 1] < cy) &
-              (gi[:, 2] >= 0) & (gi[:, 2] < cz))
+    # keep points within dilate_cells OUTSIDE the box (clamped to the
+    # boundary cell — their cones can touch in-volume voxels); the
+    # dilation radius then covers the remaining distance
+    d = dilate_cells
+    near = (valid & (gi[:, 0] >= -d) & (gi[:, 0] < cx + d) &
+            (gi[:, 1] >= -d) & (gi[:, 1] < cy + d) &
+            (gi[:, 2] >= -d) & (gi[:, 2] < cz + d))
+    gi = jnp.clip(gi, 0, jnp.asarray([cx - 1, cy - 1, cz - 1]))
+    inside = near
     n_cells = cx * cy * cz
     flat = jnp.where(inside, (gi[:, 0] * cy + gi[:, 1]) * cz + gi[:, 2],
                      n_cells)
@@ -331,7 +357,8 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
 
     hit = s["hit"]
 
-    # sub-voxel refinement: 8 bisection steps on the *trilinear* field
+    # sub-voxel refinement: 10 bisection steps on the *trilinear* field
+    # (bracket width / 2^10 of the ~4-voxel widened bracket)
     # within the crossing bracket [hit_lo, hit_hi]. The marching loop's
     # floor-voxel sampling localizes the surface to within one step; this
     # recovers the continuous zero crossing (the surface marching

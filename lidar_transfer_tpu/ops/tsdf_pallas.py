@@ -83,7 +83,7 @@ def _atan_poly(x):
 
 
 def _kernel(params_ref, *all_refs,
-            Y, Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab,
+            Z, H, CW, R, BX, voxel_size, trunc, reset, has_vtab,
             write_weight, fused_cols, S=1):
     """One grid step: update BX x-planes' (y-tile) slabs of the volume.
 
@@ -126,14 +126,14 @@ def _kernel(params_ref, *all_refs,
     for bx in range(BX):
         _kernel_plane(params_ref, scan_cols, refs, bx,
                       gy, ox, oy, oz, fov_up, fov_down, fov, obs_w,
-                      ax, ay, az, Y=Y, Z=Z, H=H, CW=CW, R=R, BX=BX,
+                      ax, ay, az, Z=Z, H=H, CW=CW, R=R, BX=BX,
                       voxel_size=voxel_size, trunc=trunc, reset=reset,
                       has_vtab=has_vtab, write_weight=write_weight)
 
 
 def _kernel_plane(params_ref, scan_cols, refs, bx, gy,
                   ox, oy, oz, fov_up, fov_down, fov, obs_w, ax, ay, az,
-                  *, Y, Z, H, CW, R, BX, voxel_size, trunc, reset,
+                  *, Z, H, CW, R, BX, voxel_size, trunc, reset,
                   has_vtab, write_weight):
     if has_vtab:
         v_ref, refs = refs[0], refs[1:]
@@ -278,8 +278,19 @@ def _col_width(H: int) -> int:
 
 
 def supports(spec: VolumeSpec, H: int) -> bool:
+    """Can the pallas integrate run this volume/image combination?
+
+    Includes the TPU Mosaic aliasing constraint (compact bf16 state
+    tiles can only alias in place when the minor dim is a 128 multiple —
+    CLAUDE.md) so callers don't have to re-implement eligibility;
+    interpret mode (CPU backend) has no such constraint.
+    """
     X, Y, Z = spec.dims
-    return H <= 128 and Y % min(Y, 1024) == 0
+    if H > 128 or Y % min(Y, 1024) != 0:
+        return False
+    if jax.default_backend() == "tpu" and Z % 128 != 0:
+        return False
+    return True
 
 
 def _params(origin, fov_up_deg, fov_down_deg, obs_weight, active_dims):
@@ -291,7 +302,7 @@ def _params(origin, fov_up_deg, fov_down_deg, obs_weight, active_dims):
     return p.at[1, 0].set(active_dims[0])
 
 
-def _specs(Z, CW, BY, BX=1):
+def _specs(Z, BY, BX=1):
     state_spec = pl.BlockSpec((BX, BY, Z), lambda x, y: (x, y, 0),
                               memory_space=pltpu.VMEM)
     # col arrays are (X, Y, 128) lane-minor (fused depth|packed when
@@ -377,14 +388,14 @@ def _integrate_kernel_impl(state: TSDFState, col_args,
 
     params = _params(origin, fov_up_deg, fov_down_deg, obs_weight,
                      active_dims)
-    state_spec, col_spec, smem_spec = _specs(Z, CW, BY, BX)
+    state_spec, col_spec, smem_spec = _specs(Z, BY, BX)
     # reset mode never reads prior state: leave the aliased inputs in HBM
     # (ANY) so the pipeline skips 4 full-volume DMA reads per frame
     state_in_spec = (pl.BlockSpec(memory_space=pl.ANY) if reset
                      else state_spec)
 
     kernel = functools.partial(
-        _kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
+        _kernel, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=float(voxel_size), trunc=float(voxel_size) * 5.0,
         reset=reset, has_vtab=has_vtab, write_weight=write_weight,
         fused_cols=len(col_args) == S, S=S)
@@ -428,7 +439,7 @@ def _precompute_geometry_impl(fov_up_deg, fov_down_deg, origin,
     BY = min(Y, 1024)
     params = _params(origin, fov_up_deg, fov_down_deg,
                      jnp.float32(0.0), jnp.zeros(3, jnp.float32))
-    state_spec, _, smem_spec = _specs(Z, 64, BY)
+    state_spec, _, smem_spec = _specs(Z, BY)
     kernel = functools.partial(
         _geom_kernel, Z=Z, H=H, R=BY, voxel_size=float(voxel_size))
     return pl.pallas_call(
@@ -460,12 +471,23 @@ def precompute_geometry(spec: VolumeSpec, fov_up_deg, fov_down_deg, H,
         interpret=interpret)
 
 
-def _verify_label_max(arr) -> None:
-    bad = int(arr)                      # blocks until the reduction is ready
-    if bad >= 512:
-        raise ValueError(
-            "integrate_pallas packs label+remission into one f32 column: "
-            f"label ids must be < 512, got {bad}")
+def _verify_check(kind, arr) -> None:
+    if kind == "label":
+        bad = int(arr)                  # blocks until the reduction is ready
+        if bad >= 512:
+            raise ValueError(
+                "integrate_pallas packs label+remission into one f32 "
+                f"column: label ids must be < 512, got {bad}")
+    else:                               # "rem": stacked [min, max]
+        import numpy as np
+
+        lo, hi = np.asarray(arr)
+        if lo < -1e-6 or hi > 1.0 + 1e-6:
+            raise ValueError(
+                "integrate_pallas packs remission into 14 bits of the "
+                f"f32 column, clipped to [0, 1]: got range [{lo}, {hi}] "
+                "— normalize remissions (the converters do) or pass "
+                "use_pallas_integrate=False for raw-intensity data")
 
 
 def drain_label_checks(timeout: float | None = None) -> None:
@@ -489,14 +511,14 @@ def drain_label_checks(timeout: float | None = None) -> None:
     pending = getattr(integrate_pallas, "_pending_label_checks", None)
     if timeout is None:
         while pending:
-            _verify_label_max(pending.pop(0))
+            _verify_check(*pending.pop(0))
         return
     deadline = time.monotonic() + timeout
     while pending and time.monotonic() < deadline:
-        ready = [a for a in pending if a.is_ready()]
-        for a in ready:
-            pending.remove(a)
-            _verify_label_max(a)
+        ready = [e for e in pending if e[1].is_ready()]
+        for e in ready:
+            pending.remove(e)
+            _verify_check(*e)
         if pending:
             time.sleep(0.05)
     if pending:
@@ -522,24 +544,50 @@ def _drain_at_exit() -> None:
 atexit.register(_drain_at_exit)
 
 
+def _pending_queue():
+    pending = getattr(integrate_pallas, "_pending_label_checks", None)
+    if pending is None:
+        pending = []
+        integrate_pallas._pending_label_checks = pending
+    return pending
+
+
+def enqueue_input_guard(labels, remissions, valid) -> None:
+    """Window-level packed-column guard, enqueued at the EAGER boundary.
+
+    The per-image guard inside ``integrate_pallas`` cannot enqueue when
+    the integrate runs under an outer trace (the fixed-bounds whole-frame
+    jits, e.g. the materialized mergemesh body) — the inputs are tracers
+    there and the guard is silently inert. Engines therefore call this on
+    the CONCRETE window arrays before jitting: window labels/remissions
+    bound everything the integrate can ever see. Async like the per-image
+    guard (two tiny reductions; verified at the next eager call, a
+    ``drain_label_checks`` sync point, or atexit)."""
+    if isinstance(labels, jax.core.Tracer):
+        return
+    pending = _pending_queue()
+    pending.append(("label", jnp.max(jnp.where(valid, labels, 0))))
+    r = jnp.where(valid, remissions, 0.0)
+    pending.append(("rem", jnp.stack([jnp.min(r), jnp.max(r)])))
+    while len(pending) > 64:
+        _verify_check(*pending.pop(0))
+
+
 def _enqueue_label_check(depth_im, label_im) -> None:
     """Enqueue an async max-label guard for the packed f32 column (exact
     only for ids < 512) — see the comment at the integrate_pallas call
     site; drained by ``drain_label_checks``."""
     if isinstance(label_im, jax.core.Tracer):
         return
-    pending = getattr(integrate_pallas, "_pending_label_checks", None)
-    if pending is None:
-        pending = []
-        integrate_pallas._pending_label_checks = pending
-    for arr in pending[:]:
-        if arr.is_ready():
-            pending.remove(arr)
-            _verify_label_max(arr)
+    pending = _pending_queue()
+    for e in pending[:]:
+        if e[1].is_ready():
+            pending.remove(e)
+            _verify_check(*e)
     try:
         mx = jnp.max(jnp.where(depth_im > 0, label_im, 0))
         if not isinstance(mx, jax.core.Tracer):
-            pending.append(mx)
+            pending.append(("label", mx))
             # Bound the queue by VERIFYING the oldest entries, never by
             # dropping them unchecked. The bound is high enough that the
             # oldest entry is essentially always ready (the device can't
@@ -548,7 +596,7 @@ def _enqueue_label_check(depth_im, label_im) -> None:
             # unlike the previous bound of 8, which a few pipelined
             # 3-scan frames could overflow.
             while len(pending) > 64:
-                _verify_label_max(pending.pop(0))
+                _verify_check(*pending.pop(0))
     except jax.errors.ConcretizationTypeError:
         pass                            # inside an outer trace
 

@@ -248,8 +248,9 @@ class TransferEngine:
             return self.use_pallas_integrate
         from lidar_transfer_tpu.ops import tsdf_pallas as TP
 
-        return (self._tpu and self.vol_dims[2] % 128 == 0
-                and TP.supports(self.vol_spec, H))
+        # supports() owns ALL eligibility now, incl. the TPU Z%128
+        # aliasing constraint
+        return self._tpu and TP.supports(self.vol_spec, H)
 
     def _ensure_geom(self, fov_up, fov_down, H):
         """Frame-invariant (v, depth) tables for the pallas integrate.
@@ -567,7 +568,9 @@ class TransferEngine:
             back = P.reverse_project(ri, fov_up_deg=fu, fov_down_deg=fd,
                                      preserve_float=True)
             o = RC.occupancy_from_points(
-                back, ri.range.reshape(-1) > 0, vol_origin, self.vol_spec)
+                back, ri.range.reshape(-1) > 0, vol_origin, self.vol_spec,
+                pixel_angle_rad=self._src_pixel_angle(
+                    fu, fd, ri.range.shape[0]))
             occ = o if occ is None else jnp.logical_or(occ, o)
         res = RC.raycast_tsdf(
             state, self.vol_spec, jnp.asarray(rays), jnp.asarray(origins),
@@ -650,6 +653,21 @@ class TransferEngine:
         write_ply(path, verts, faces, colors=colors)
         return faces.shape[0]
 
+    def _src_pixel_angle(self, fov_up=None, fov_down=None, H=None):
+        """Max per-pixel angular extent of the fused source images —
+        occupancy_from_points' lateral-footprint bound. fov/H for uniform
+        rows, at least the max adjacent-beam gap when a beam table rules
+        row assignment (rows span to the midpoint of each neighbor)."""
+        fu = self.source.fov_up if fov_up is None else fov_up
+        fd = self.source.fov_down if fov_down is None else fov_down
+        h = self.source.H if H is None else H
+        ang = float(np.deg2rad(abs(fu - fd))) / max(int(h), 1)
+        if self.s_beam_angles is not None:
+            gaps = np.abs(np.diff(np.sort(np.asarray(self.s_beam_angles))))
+            if gaps.size:
+                ang = max(ang, float(gaps.max()))
+        return ang
+
     def _raycast(self, state: TS.TSDFState, origin_vol, pts, valid
                  ) -> VirtualScan:
         # occupancy from the scan points (O(points)) — the volume-scan
@@ -657,8 +675,9 @@ class TransferEngine:
         # 2-voxel fine step is safe because the carve-only TSDF's negative
         # band is >= trunc (5 voxels) thick along any ray, and the
         # trilinear bisection refinement recovers sub-voxel range accuracy
-        occ = RC.occupancy_from_points(pts, valid, origin_vol,
-                                       self.vol_spec)
+        occ = RC.occupancy_from_points(
+            pts, valid, origin_vol, self.vol_spec,
+            pixel_angle_rad=self._src_pixel_angle())
         res = RC.raycast_tsdf(
             state, self.vol_spec, self.rays, jnp.zeros(3, jnp.float32),
             self.target.H, self.target.W, occ=occ, fine_step=2.0,
@@ -740,6 +759,15 @@ class TransferEngine:
 
         geom = self._ensure_geom(self.target.fov_up, self.target.fov_down,
                                  self.source.H)
+        if self._pallas_eligible(self.source.H):
+            # the integrate below runs inside the whole-frame jit, where
+            # the per-image packed-column guard is inert (tracer inputs);
+            # guard the concrete window here instead
+            from lidar_transfer_tpu.ops.tsdf_pallas import (
+                enqueue_input_guard)
+
+            enqueue_input_guard(window.labels, window.remissions,
+                                window.valid)
         if self.fixed_bounds:
             fn = getattr(self, "_mm_jit", None)
             if fn is None:

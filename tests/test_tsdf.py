@@ -256,3 +256,58 @@ def test_integrate_write_weight_false(rng):
         np.testing.assert_allclose(np.asarray(slim.rem),
                                    np.asarray(full.rem), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(slim.weight), 0.0)
+
+
+def test_occupancy_from_points_covers_all_touched_voxels(rng):
+    """The point-derived occupancy must be a SUPERSET of the integrate's
+    touched cells (else the raymarcher forces tsdf=1 inside written band
+    voxels and silently misses crossings). Uses a coarse-beam image so
+    the pixel cone's LATERAL footprint matters — the regression the
+    trunc-only dilation radius missed at long range."""
+    spec = TS.VolumeSpec.from_bounds(
+        np.array([[-16.0, 16.0], [-16.0, 16.0], [-4.0, 4.0]]), 0.1)
+    # very coarse rows (7.5 deg) + fine voxels: the lateral footprint at
+    # range (~2 m at 16 m) far exceeds the trunc-only dilation (was 108
+    # touched cells outside the old occupancy in this exact regime)
+    H, W = 4, 32
+    fovu, fovd = 10.0, -20.0
+
+    depth = (rng.random((H, W)) * 14 + 1.5).astype(np.float32)
+    depth[rng.random((H, W)) < 0.15] = 0.0
+    label = rng.integers(1, 30, (H, W)).astype(np.int32)
+    rem = rng.random((H, W)).astype(np.float32)
+
+    state = TS.integrate(
+        TS.VolumeSpec.init_state(spec), spec, jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray(rem),
+        fov_up_deg=fovu, fov_down_deg=fovd, reset=True)
+    block = 4
+    touched = np.asarray(state.tsdf) < 0.9999
+    cx, cy, cz = (-(-d // block) for d in spec.dims)
+    pad = [(0, (-d) % block) for d in spec.dims]
+    coarse_touched = np.pad(touched, pad).reshape(
+        cx, block, cy, block, cz, block).any(axis=(1, 3, 5))
+
+    # back-project the image to its winning points (what the engine does)
+    ri = P.RangeImage(
+        range=jnp.asarray(depth), index=jnp.where(depth > 0, 0, -1),
+        remission=jnp.asarray(rem), label=jnp.asarray(label),
+        u_float=(jnp.arange(W, dtype=jnp.float32)[None, :]
+                 + 0.5) * jnp.ones((H, 1)),
+        v_float=(jnp.arange(H, dtype=jnp.float32)[:, None]
+                 + 0.5) * jnp.ones((1, W)),
+        point_valid=jnp.ones((H * W,), bool),
+        point_u=jnp.zeros((H * W,), jnp.int32),
+        point_v=jnp.zeros((H * W,), jnp.int32),
+        point_depth=jnp.asarray(depth).reshape(-1))
+    pts = P.reverse_project(ri, fov_up_deg=fovu, fov_down_deg=fovd,
+                            preserve_float=True)
+    pixel_angle = np.deg2rad(fovu - fovd) / H
+    occ = np.asarray(RC.occupancy_from_points(
+        pts, jnp.asarray(depth).reshape(-1) > 0,
+        jnp.asarray(spec.origin), spec, block=block,
+        pixel_angle_rad=float(pixel_angle)))
+
+    missing = coarse_touched & ~occ
+    assert not missing.any(), (
+        f"{missing.sum()} touched coarse cells outside the occupancy")

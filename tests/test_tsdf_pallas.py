@@ -267,3 +267,79 @@ def test_pallas_chain_compact_tolerance(setup):
     np.testing.assert_allclose(np.asarray(out.tsdf, np.float32),
                                np.asarray(ref.tsdf, np.float32),
                                atol=5e-3)
+
+
+def test_input_guard_catches_bad_labels_and_remissions():
+    """enqueue_input_guard + drain: labels >= 512 and remissions outside
+    [0, 1] must raise (the packed f32 column cannot represent them)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lidar_transfer_tpu.ops import tsdf_pallas as TP
+
+    valid = jnp.asarray([True, True, False])
+    # ok values pass
+    TP.enqueue_input_guard(jnp.asarray([3, 500, 9999]),
+                           jnp.asarray([0.0, 1.0, 77.0]), valid)
+    TP.drain_label_checks()
+    # bad label (only VALID entries count — the 9999 above was masked)
+    TP.enqueue_input_guard(jnp.asarray([3, 600, 0]),
+                           jnp.asarray([0.0, 0.5, 0.0]), valid)
+    with pytest.raises(ValueError, match="label ids"):
+        TP.drain_label_checks()
+    TP.drain_label_checks()   # queue must be clean afterwards
+    # bad remission range
+    TP.enqueue_input_guard(jnp.asarray([3, 4, 0]),
+                           jnp.asarray([0.0, 2.5, 0.0]), valid)
+    with pytest.raises(ValueError, match="remission"):
+        TP.drain_label_checks()
+    TP.drain_label_checks()
+
+
+def test_materialized_mergemesh_guards_traced_integrate(synthetic_dataset,
+                                                        monkeypatch):
+    """The fixed-bounds materialized mergemesh body jits its integrate,
+    where the per-image guard is inert (tracer inputs) — the engine must
+    guard the concrete window at the eager boundary instead."""
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets import KittiSequence
+    from lidar_transfer_tpu.ops import tsdf_pallas as TP
+    from lidar_transfer_tpu.ops import tsdf as TS
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+    from lidar_transfer_tpu.config import SensorSpec
+
+    spec = SensorSpec(name="t16", beams=16, fov_up=5.0, fov_down=-20.0,
+                      angle_res_hor=360.0 / 128.0)
+    cfg = TransferConfig(
+        adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+
+    calls = []
+    real_guard = TP.enqueue_input_guard
+    monkeypatch.setattr(
+        TP, "enqueue_input_guard",
+        lambda l, r, v: calls.append(1) or real_guard(l, r, v))
+    # force the pallas-eligible branch; shim the in-jit integrate to the
+    # XLA path so the test runs on CPU
+    monkeypatch.setattr(TP, "precompute_geometry",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(TP, "integrate_pallas",
+                        lambda state, spec_, d, l, r, *, fov_up_deg,
+                        fov_down_deg, obs_weight=1.0, origin=None,
+                        active_dims=None, reset=False, geom=None,
+                        write_weight=True: TS.integrate(
+                            state, spec_, d, l, r,
+                            fov_up_deg=fov_up_deg,
+                            fov_down_deg=fov_down_deg, origin=origin,
+                            active_dims=active_dims, reset=reset,
+                            write_weight=write_weight))
+    eng = TransferEngine(spec, spec, cfg, 8192, fixed_bounds=True,
+                         defer_volume=False, use_pallas_integrate=True)
+    window = load_window(seq, cfg, 1, 8192)
+    vs, _ = eng.transfer(window)
+    assert calls, "materialized mergemesh did not guard the window"
+    assert bool(jnp.any(vs.mask))
+    TP.drain_label_checks()
