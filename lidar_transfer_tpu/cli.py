@@ -130,7 +130,7 @@ def main(argv=None) -> int:
     capacity = kitti.scan_capacity(probe)
 
     out_path = None
-    if args.write:
+    if args.write or args.png:
         out_path = kitti.make_output_dirs(args.output, args.sequence,
                                           write_png=args.png)
         copy2(target_path, out_path)
@@ -159,9 +159,10 @@ def main(argv=None) -> int:
     plan = []
     j = idx
     while j < end:
+        if args.frames is not None and len(plan) >= args.frames:
+            break                      # exact cap (incl. --frames 0)
         plan.append(j)
-        if args.one_scan or (args.frames is not None
-                             and len(plan) >= args.frames):
+        if args.one_scan:
             break
         j += increment
     from lidar_transfer_tpu.utils.prefetch import Prefetcher
@@ -172,6 +173,8 @@ def main(argv=None) -> int:
     # Incompatible with per-frame lazy-volume consumers (the stash holds
     # only the batch's LAST frame).
     stream = args.stream
+    if stream < 0:
+        raise SystemExit(f"--stream must be >= 0, got {stream}")
     if stream and (args.rolling_shutter or args.ply):
         print("--stream disabled: --rolling-shutter/--ply need the "
               "per-frame volume stash")
@@ -243,8 +246,12 @@ def main(argv=None) -> int:
                         pose_next = (_np.linalg.inv(seq.poses[idx])
                                      @ seq.poses[idx + 1])
                         vs = eng.resynthesize_rolling_shutter(pose_next)
-                    jax.block_until_ready(vs.range)
-                yield idx, vs, timer, t0, None
+                    # fetch-sync, not just block_until_ready: until a
+                    # process's first device->host transfer the barrier
+                    # is an async ACK on this runtime (CLAUDE.md) and
+                    # "Took" would record dispatch rate
+                    np.asarray(jax.device_get(vs.range[:1, :1]))
+                yield idx, vs, timer, t0, None, window
             return
 
         buf = []
@@ -252,7 +259,13 @@ def main(argv=None) -> int:
         def flush():
             if not buf:
                 return
-            timer = StageTimer()
+            # a FRESH timer per yielded frame: a shared one would
+            # give every frame the whole batch span and accumulate the
+            # write spans across the batch (~8x overstated stage sums);
+            # the batch-level transfer span rides on frame 0's timer
+            # with count=len(buf)
+            timers = [StageTimer() for _ in buf]
+            timer = timers[0]
             t0 = time.time()
             stacked = stack_windows([w for _, w in buf])
             with timer.span("transfer_stream", len(buf)):
@@ -272,7 +285,7 @@ def main(argv=None) -> int:
                     range=rng_np[k], label=lbl_np[k],
                     remission=rem_np[k], points=pts_np[k],
                     mask=msk_np[k], adaption=sv.adaption)
-                yield i, vs_k, timer, t0, pre[k]
+                yield i, vs_k, timers[k], t0, pre[k], None
                 t0 = time.time()       # amortized per-frame wall
             buf.clear()
 
@@ -285,7 +298,7 @@ def main(argv=None) -> int:
     # an exception mid-run must still finalize the trace, or the
     # profile directory is left unreadable (--profile try/finally)
     try:
-        for idx, vs, timer, t0, pre in frame_results():
+        for idx, vs, timer, t0, pre, window in frame_results():
             frame_metrics = {"index": idx}
             if pre is not None:
                 iou, present = pre["iou_per_class"], pre["present"]
@@ -296,37 +309,43 @@ def main(argv=None) -> int:
                 frame_metrics.update(iou=pre["iou"], acc=pre["acc"],
                                      mse=pre["mse"])
             elif same_dims:
-                # source reference scan (≡ lidar_deform.py:403-409)
-                pts, rem, lbl = seq.read(idx)
-                p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
-                m = P.mask_classes(jnp.asarray(l), jnp.asarray(m),
-                                   cfg.ignore_classes)
+                # source reference scan (≡ lidar_deform.py:403-409) —
+                # from the prefetched window's primary slot (raw points
+                # + ignore-masked valid), not a second disk read
                 src = P.range_project(
-                    jnp.asarray(p), jnp.asarray(r), jnp.asarray(l), m,
+                    window.points[0], window.remissions[0],
+                    window.labels[0], window.valid[0],
                     H=source.H, W=source.W, fov_up_deg=source.fov_up,
                     fov_down_deg=source.fov_down,
                     beam_angles=eng.s_beam_angles)
                 res = compare_scans(src.label, src.mask, src.range,
                                     jnp.maximum(src.remission, 0.0),
                                     vs.label, vs.range, vs.remission)
-                iou = np.asarray(res.iou_per_class)
-                present = np.asarray(res.present)
+                # ONE packed device->host read (each read costs a full
+                # ~30 ms tunnel round trip; this was 5 separate ones)
+                nc = res.iou_per_class.shape[0]
+                row = np.asarray(jnp.concatenate(
+                    [res.iou_per_class, res.present.astype(jnp.float32),
+                     jnp.stack([res.mean_iou, res.mean_acc, res.mse])]))
+                iou, present = row[:nc], row[nc:2 * nc] > 0.5
                 print("IoU class: ", (iou[present] * 100).astype(int))
-                print("IoU: ", float(res.mean_iou))
-                print("Acc: ", float(res.mean_acc))
-                print("MSE: ", float(res.mse))
-                frame_metrics.update(iou=float(res.mean_iou),
-                                     acc=float(res.mean_acc),
-                                     mse=float(res.mse))
+                print("IoU: ", float(row[2 * nc]))
+                print("Acc: ", float(row[2 * nc + 1]))
+                print("MSE: ", float(row[2 * nc + 2]))
+                frame_metrics.update(iou=float(row[2 * nc]),
+                                     acc=float(row[2 * nc + 1]),
+                                     mse=float(row[2 * nc + 2]))
 
             if args.write:
                 with timer.span("write", 1):
                     n = write_virtual_scan(out_path, idx, vs)
                 frame_metrics["points_written"] = n
-                if args.png:
-                    from lidar_transfer_tpu.utils.images import (
-                        save_virtual_scan_pngs)
-                    save_virtual_scan_pngs(out_path, idx, vs, cfg)
+            if args.png:
+                # independent of --write (the flag promises PNG export)
+                os.makedirs(out_path, exist_ok=True)
+                from lidar_transfer_tpu.utils.images import (
+                    save_virtual_scan_pngs)
+                save_virtual_scan_pngs(out_path, idx, vs, cfg)
 
             if args.ply and cfg.adaption in ("mesh", "mergemesh"):
                 os.makedirs(args.ply, exist_ok=True)

@@ -36,7 +36,11 @@ def iou_from_confusion(conf: jax.Array, ignore_mask: jax.Array
                        ) -> tuple[jax.Array, jax.Array]:
     """-> (mean IoU over included classes, per-class IoU for ALL classes).
 
-    ≡ reference getIoU (np_ioueval.py:56-63) incl. the 1e-15 epsilon.
+    ≡ reference getIoU (np_ioueval.py:56-63) incl. the 1e-15 epsilon —
+    BUT in jax's default f32 (the float64 casts are downcast unless
+    jax_enable_x64 is on): exact to ~1 ulp for counts < 2^24 per cell.
+    The in-graph / psum-reducible variant; the stateful ``IoUEval``
+    computes the final ratios host-side in true float64.
     """
     tp, fp, fn = _masked_stats(conf, ignore_mask)
     union = (tp + fp + fn).astype(jnp.float64) + 1e-15
@@ -49,7 +53,8 @@ def iou_from_confusion(conf: jax.Array, ignore_mask: jax.Array
 
 @jax.jit
 def acc_from_confusion(conf: jax.Array, ignore_mask: jax.Array) -> jax.Array:
-    """≡ reference getacc (np_ioueval.py:65-70)."""
+    """≡ reference getacc (np_ioueval.py:65-70); f32 in-graph variant —
+    see iou_from_confusion's precision note."""
     tp, fp, fn = _masked_stats(conf, ignore_mask)
     include = ~ignore_mask
     total_tp = tp.sum().astype(jnp.float64)
@@ -85,13 +90,32 @@ class IoUEval:
     # reference-compatible alias (np_ioueval.py:27)
     addBatch = add_batch
 
+    def _host_stats(self):
+        """One fetch of the (tiny) confusion matrix; ratios in TRUE
+        numpy float64 — bit-for-bit the reference np_ioueval math, which
+        the device variants only approximate in f32 (jax_enable_x64 is
+        never turned on by this package)."""
+        conf = np.asarray(self.conf, dtype=np.int64)
+        ignore = np.asarray(self.ignore_mask)
+        conf = conf.copy()
+        conf[ignore, :] = 0
+        conf[:, ignore] = 0
+        tp = np.diag(conf).astype(np.float64)
+        fp = conf.sum(axis=1) - np.diag(conf)
+        fn = conf.sum(axis=0) - np.diag(conf)
+        return tp, fp.astype(np.float64), fn.astype(np.float64), ~ignore
+
     def get_iou(self) -> tuple[float, np.ndarray]:
-        mean_iou, iou = iou_from_confusion(self.conf, self.ignore_mask)
-        return float(mean_iou), np.asarray(iou)
+        tp, fp, fn, include = self._host_stats()
+        iou = tp / (tp + fp + fn + 1e-15)
+        mean_iou = iou[include].sum() / max(include.sum(), 1)
+        return float(mean_iou), iou
 
     getIoU = get_iou
 
     def get_acc(self) -> float:
-        return float(acc_from_confusion(self.conf, self.ignore_mask))
+        tp, fp, fn, include = self._host_stats()
+        return float(tp.sum() / (tp[include].sum() + fp[include].sum()
+                                 + 1e-15))
 
     getacc = get_acc

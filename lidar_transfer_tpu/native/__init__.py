@@ -32,8 +32,24 @@ _BUILD_ERROR = None
 
 
 def _source_tag() -> str:
+    # the key must identify the MACHINE too, not just the source:
+    # -march=native binaries under the user-global XDG cache would
+    # otherwise be loaded on a different CPU (or a copied working tree)
+    # and SIGILL on the first call instead of rebuilding
+    import platform
+
+    cpu = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu += line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
     with open(_SRC, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()[:12]
+        return hashlib.sha256(
+            f.read() + cpu.encode()).hexdigest()[:12]
 
 
 def _lib_paths() -> list[str]:
