@@ -122,9 +122,16 @@ def evaluate_transfer(dataset: str, cfg, sequence: str = "00",
                 ious.append(i)
                 accs.append(a)
                 mses.append(m_)
-            jax.block_until_ready(vs.range)
+            # fetch-sync, not just block_until_ready: before a process's
+            # first device->host transfer the barrier is an async ACK on
+            # this runtime (CLAUDE.md) — a cross-dims cell (no metric
+            # fetches) would record dispatch rate
+            np.asarray(jax.device_get(vs.range[:1, :1]))
             n_done += 1
     dt = time.time() - t0
+    # NOTE: grid cells are QUALITY measurements; scans_per_sec here
+    # includes per-frame metric fetches (~30 ms round trips when
+    # same_dims) and is informational only — bench.py owns throughput
     out = {"frames": n_done, "seconds": dt,
            "scans_per_sec": n_done / max(dt, 1e-9)}
     if ious:

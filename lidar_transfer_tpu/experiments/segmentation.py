@@ -159,8 +159,12 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
     cfg = cfg or TransferConfig()
     spec = SensorSpec.from_yaml(os.path.join(dataset, "config.yaml"))
     if width is not None:
+        # fov_hor/width can float-round DOWN through SensorSpec.W's
+        # reference-parity int() (344 of the first 8192 widths landed at
+        # width-1); aiming the ratio at width+0.5 makes the truncation
+        # yield exactly `width` for any integer width
         spec = dataclasses.replace(
-            spec, angle_res_hor=spec.fov_hor / width)
+            spec, angle_res_hor=spec.fov_hor / (width + 0.5))
     mapper = LabelMapper.from_labels(dict(cfg.labels),
                                      ignore_classes=cfg.ignore_classes)
     model_cfg = model_cfg or RangeNetConfig.darknet21(
@@ -196,7 +200,11 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
 
     n_dev = len(jax.devices())
     mesh = None
-    candidate = make_mesh() if (use_mesh and n_dev > 1) else None
+    # model=1: this trainer shards only the batch (params replicated —
+    # no shard_params_tp here), so a model axis would idle half the
+    # devices AND reject batch sizes not divisible by n_dev/2
+    candidate = (make_mesh(model=1) if (use_mesh and n_dev > 1)
+                 else None)
     if candidate is not None and batch_size % candidate.shape["data"] == 0:
         mesh = candidate
         step_fn = sharded_train_step(model, tx, mesh)

@@ -250,9 +250,16 @@ class InteractiveViewer:
             self._img_visuals.append((view, vis))
         for (view, vis), (_, img) in zip(self._img_visuals, rows):
             vis.set_data(img)
+            vis.visible = True
             view.camera.set_range(margin=0)
-        if payload.get("title"):
-            self.canvas2d.title = payload["title"]
+        # hide surplus visuals when the row count SHRINKS (e.g. stepping
+        # past the last prediction file) — stale virt/diff rows would
+        # otherwise keep showing the previous frame
+        for view, vis in self._img_visuals[len(rows):]:
+            vis.visible = False
+        # the title carries IoU/Acc/MSE of the CURRENT frame; clear it
+        # when the frame has none rather than keep the previous frame's
+        self.canvas2d.title = payload.get("title") or "lidar-transfer-tpu"
         self.canvas3d.update()
         self.canvas2d.update()
 

@@ -66,8 +66,12 @@ def acc_from_confusion(conf: jax.Array, ignore_mask: jax.Array) -> jax.Array:
 class IoUEval:
     """Stateful accumulator with the reference's iouEval API surface.
 
-    Thin host-side wrapper over the jitted kernels; the confusion matrix
-    lives on device and is psum-reducible across chips.
+    Per-batch confusion matrices compute on device (the jitted/psum-able
+    kernels in metrics.confusion); the ACCUMULATOR is host numpy int64 —
+    the reference uses int64 for exactly this (np_ioueval.py:29), and a
+    device int32 accumulator wraps silently past 2^31 counts per cell
+    (~16k full scans of one dominant class). In-graph consumers that
+    need a device-resident sum use metrics.confusion directly.
     """
 
     def __init__(self, n_classes: int, ignore=None):
@@ -80,12 +84,13 @@ class IoUEval:
         self.reset()
 
     def reset(self) -> None:
-        self.conf = jnp.zeros((self.n_classes, self.n_classes),
-                              dtype=jnp.int32)
+        self.conf = np.zeros((self.n_classes, self.n_classes),
+                             dtype=np.int64)
 
     def add_batch(self, pred, target) -> None:
-        self.conf = self.conf + confusion_matrix(
-            jnp.asarray(pred), jnp.asarray(target), self.n_classes)
+        self.conf = self.conf + np.asarray(confusion_matrix(
+            jnp.asarray(pred), jnp.asarray(target), self.n_classes),
+            dtype=np.int64)
 
     # reference-compatible alias (np_ioueval.py:27)
     addBatch = add_batch
@@ -95,9 +100,8 @@ class IoUEval:
         numpy float64 — bit-for-bit the reference np_ioueval math, which
         the device variants only approximate in f32 (jax_enable_x64 is
         never turned on by this package)."""
-        conf = np.asarray(self.conf, dtype=np.int64)
+        conf = np.array(self.conf, dtype=np.int64)
         ignore = np.asarray(self.ignore_mask)
-        conf = conf.copy()
         conf[ignore, :] = 0
         conf[:, ignore] = 0
         tp = np.diag(conf).astype(np.float64)

@@ -74,10 +74,13 @@ def local_frame_indices(frame_indices, mesh) -> list[int]:
         raise ValueError(f"batch {len(frame_indices)} not divisible by "
                          f"{n_dev} devices")
     per_dev = len(frame_indices) // n_dev
-    data_devs = list(mesh.devices[:, 0])
     pid = jax.process_index()
+    # a P("data") shard is replicated over the model axis: a process
+    # owning ANY device of data-row d must back shard d (checking only
+    # column 0 skipped processes that own other model columns)
     return [frame_indices[d * per_dev + k]
-            for d, dev in enumerate(data_devs) if dev.process_index == pid
+            for d in range(mesh.devices.shape[0])
+            if any(dev.process_index == pid for dev in mesh.devices[d])
             for k in range(per_dev)]
 
 

@@ -209,8 +209,8 @@ def main(argv=None) -> int:
         print(f"WARNING: {len(pred_files)} predictions vs "
               f"{len(seq)} scans")
 
-    n = len(seq) if args.frames < 0 else min(args.frames,
-                                             len(seq) - args.offset)
+    n = (len(seq) - args.offset if args.frames < 0
+         else min(args.frames, len(seq) - args.offset))
     capacity = kitti.scan_capacity(
         max(os.path.getsize(f) // 16 for f in seq.scan_files))
     sba = (np.asarray(spec.beam_angles)        # already radians
@@ -248,9 +248,10 @@ def main(argv=None) -> int:
                              fov_up_deg=spec.fov_up,
                              fov_down_deg=spec.fov_down, beam_angles=sba)
 
+        from lidar_transfer_tpu.utils.images import range_image_rgb
+
         rng_img = np.asarray(ri.range)
-        rows = [("range",
-                 viridis[(convert_range(rng_img) * 255).astype(np.uint8)]),
+        rows = [("range", range_image_rgb(rng_img)),
                 ("remission",
                  viridis[(np.clip(np.asarray(ri.remission), 0, 1) * 255
                           ).astype(np.uint8)])]
