@@ -69,7 +69,7 @@ def run_workflow(kind: str, real_dataset: str, work_dir: str, cfg, *,
                  sequence: str = "00", target_yaml: str | None = None,
                  frames: int | None = None, steps: int = 50,
                  batch_size: int = 1, model_cfg=None,
-                 verbose: bool = True) -> dict:
+                 verbose: bool = True, knn: bool = False) -> dict:
     """Run one of the reference's experiment pipelines end to end.
 
     kind: 'fake_on_fake' | 'fake_on_real' | 'real_on_fake' | 'real_on_real'
@@ -94,11 +94,12 @@ def run_workflow(kind: str, real_dataset: str, work_dir: str, cfg, *,
         verbose=verbose)
     pred_root = os.path.join(work_dir, f"pred_{kind}")
     write_predictions(eval_ds, pred_root, model, params, mapper, spec,
-                      sequences=(sequence,), cfg=cfg, verbose=verbose)
+                      sequences=(sequence,), cfg=cfg, verbose=verbose,
+                      knn=knn)
     res = evaluate_semantics(eval_ds, pred_root, sequences=(sequence,),
                              cfg=cfg)
     res.update(kind=kind, train_dataset=train_ds, eval_dataset=eval_ds,
-               predictions=pred_root)
+               predictions=pred_root, knn=knn)
     if verbose:
         print(f"{kind}: mIoU {res['miou']:.4f} acc {res['acc']:.4f}")
     return res
@@ -124,6 +125,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--knn", action="store_true",
+                   help="RangeNet++ KNN per-point cleanup at inference.")
     p.add_argument("--json", default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -145,7 +148,8 @@ def main(argv=None) -> int:
     res = run_workflow(args.kind, args.dataset, args.work_dir, cfg,
                        sequence=args.sequence, target_yaml=args.target,
                        frames=args.frames, steps=args.steps,
-                       batch_size=args.batch_size, model_cfg=model_cfg)
+                       batch_size=args.batch_size, model_cfg=model_cfg,
+                       knn=args.knn)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(res, f, indent=2)

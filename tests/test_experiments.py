@@ -234,10 +234,11 @@ def test_workflow_real_on_real(tmp_path, synthetic_dataset):
         dict(TransferConfig().labels))
     res = run_workflow(
         "real_on_real", synthetic_dataset, str(tmp_path / "wf"),
-        small_cfg(), steps=2,
+        small_cfg(), steps=2, knn=True,
         model_cfg=RangeNetConfig.tiny(num_classes=mapper.num_classes),
         verbose=False)
     assert res["kind"] == "real_on_real"
+    assert res["knn"] is True        # --knn plumbs to write_predictions
     assert 0.0 <= res["miou"] <= 1.0
 
 
