@@ -111,10 +111,17 @@ def save_checkpoint(path: str, model, params, mapper, spec, *,
     ``resume=True``); older checkpoints without them still load."""
     import pickle
 
-    blob = {"params": params, "mapper": mapper, "spec": spec,
-            "model_cfg": model.cfg}
+    import jax
+
+    # fetch to host NUMPY in one batched device_get before pickling:
+    # pickle's per-jax.Array reduction fetched leaf-by-leaf through the
+    # tunnel at ~1/30 line rate (measured 64 s per darknet21+adam save
+    # vs ~2 s for device_get of the same tree); numpy blobs also load
+    # without any device initialized
+    blob = {"params": jax.device_get(params), "mapper": mapper,
+            "spec": spec, "model_cfg": model.cfg}
     if opt_state is not None:
-        blob["opt_state"] = opt_state
+        blob["opt_state"] = jax.device_get(opt_state)
         blob["step"] = step
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
