@@ -453,9 +453,13 @@ def measure(args):
     elif args.stream > 0:
         log("skipping streamed phase (budget)")
 
-    # semantic sanity: every hit pixel must carry a label (the band
-    # candidates require label>0) — catches TPU-only data corruption the
-    # CPU tests can't (e.g. subnormal-flush of bitcast label bits).
+    # semantic sanity: on THIS bench's synthetic world every source
+    # point carries a label > 0, so every hit pixel must too — catches
+    # TPU-only data corruption the CPU tests can't (e.g. subnormal-flush
+    # of bitcast label bits). NOTE: band membership itself is geometric
+    # (label-0 surfaces are legitimately opaque since the round-3
+    # alignment, ops/splat.py); a future bench fed real scans with
+    # unlabeled points must drop or rescale this canary.
     # Recorded in the JSON (and echoed); never blocks the number.
     set_phase("hit-rate + label-fill check")
     hitm = np.asarray(vs.mask)

@@ -31,6 +31,24 @@ from shutil import copy2
 import numpy as np
 
 
+
+def _pack_compare(res, jnp):
+    """compare_scans result -> ONE concatenated device vector so a whole
+    comparison costs a single device->host read (~30 ms round trip per
+    read through this environment's remote runtime). Layout consumed by
+    ``_unpack_compare`` — keep the two in sync ONLY here."""
+    return jnp.concatenate([res.iou_per_class,
+                            res.present.astype(jnp.float32),
+                            jnp.stack([res.mean_iou, res.mean_acc,
+                                       res.mse])])
+
+
+def _unpack_compare(row, nc):
+    return dict(iou_per_class=row[:nc], present=row[nc:2 * nc] > 0.5,
+                iou=float(row[2 * nc]), acc=float(row[2 * nc + 1]),
+                mse=float(row[2 * nc + 2]))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("lt-transfer")
     p.add_argument("--dataset", "-d", type=str, required=True,
@@ -207,15 +225,9 @@ def main(argv=None) -> int:
         # trip even when the value is ready, so per-frame scalar reads
         # dominated end-to-end conversion
         nc = futures[0].iou_per_class.shape[0]
-        packed = np.asarray(jnp.stack([
-            jnp.concatenate([r.iou_per_class,
-                             r.present.astype(jnp.float32),
-                             jnp.stack([r.mean_iou, r.mean_acc, r.mse])])
-            for r in futures]))
-        return [dict(iou_per_class=row[:nc],
-                     present=row[nc:2 * nc] > 0.5,
-                     iou=float(row[2 * nc]), acc=float(row[2 * nc + 1]),
-                     mse=float(row[2 * nc + 2])) for row in packed]
+        packed = np.asarray(jnp.stack(
+            [_pack_compare(r, jnp) for r in futures]))
+        return [_unpack_compare(row, nc) for row in packed]
 
     def frame_results():
         """Yield (idx, VirtualScan, timer, t0, pre_metrics) per frame —
@@ -324,17 +336,15 @@ def main(argv=None) -> int:
                 # ONE packed device->host read (each read costs a full
                 # ~30 ms tunnel round trip; this was 5 separate ones)
                 nc = res.iou_per_class.shape[0]
-                row = np.asarray(jnp.concatenate(
-                    [res.iou_per_class, res.present.astype(jnp.float32),
-                     jnp.stack([res.mean_iou, res.mean_acc, res.mse])]))
-                iou, present = row[:nc], row[nc:2 * nc] > 0.5
+                m = _unpack_compare(
+                    np.asarray(_pack_compare(res, jnp)), nc)
+                iou, present = m["iou_per_class"], m["present"]
                 print("IoU class: ", (iou[present] * 100).astype(int))
-                print("IoU: ", float(row[2 * nc]))
-                print("Acc: ", float(row[2 * nc + 1]))
-                print("MSE: ", float(row[2 * nc + 2]))
-                frame_metrics.update(iou=float(row[2 * nc]),
-                                     acc=float(row[2 * nc + 1]),
-                                     mse=float(row[2 * nc + 2]))
+                print("IoU: ", m["iou"])
+                print("Acc: ", m["acc"])
+                print("MSE: ", m["mse"])
+                frame_metrics.update(iou=m["iou"], acc=m["acc"],
+                                     mse=m["mse"])
 
             if args.write:
                 with timer.span("write", 1):

@@ -483,11 +483,22 @@ def _verify_check(kind, arr) -> None:
 
         lo, hi = np.asarray(arr)
         if lo < -1e-6 or hi > 1.0 + 1e-6:
-            raise ValueError(
-                "integrate_pallas packs remission into 14 bits of the "
-                f"f32 column, clipped to [0, 1]: got range [{lo}, {hi}] "
-                "— normalize remissions (the converters do) or pass "
-                "use_pallas_integrate=False for raw-intensity data")
+            # WARN, don't abort: the window-level reduction sees every
+            # valid point, but only each pixel's WINNER gets packed (and
+            # the kernel clips it) — stray out-of-range remissions on
+            # occluded points are harmless. The warning still surfaces
+            # the pallas/XLA divergence on genuinely unnormalized data.
+            import sys
+
+            if not getattr(_verify_check, "_rem_warned", False):
+                _verify_check._rem_warned = True
+                print(
+                    "lidar-transfer-tpu: remissions outside [0, 1] "
+                    f"(range [{lo}, {hi}]) — the pallas integrate packs "
+                    "remission into 14 bits clipped to [0, 1]; normalize "
+                    "(the converters do) or pass "
+                    "use_pallas_integrate=False for raw-intensity data",
+                    file=sys.stderr)
 
 
 def drain_label_checks(timeout: float | None = None) -> None:

@@ -657,16 +657,27 @@ class TransferEngine:
         """Max per-pixel angular extent of the fused source images —
         occupancy_from_points' lateral-footprint bound. fov/H for uniform
         rows, at least the max adjacent-beam gap when a beam table rules
-        row assignment (rows span to the midpoint of each neighbor)."""
+        row assignment (rows span to the midpoint of each neighbor).
+
+        The beam-gap term is frame-invariant and cached at first use:
+        np.asarray of the device beam table is a blocking device->host
+        read (~30 ms tunnel round trip) that must not recur per frame
+        (this is called on the per-frame raymarch/rolling-shutter paths).
+        """
         fu = self.source.fov_up if fov_up is None else fov_up
         fd = self.source.fov_down if fov_down is None else fov_down
         h = self.source.H if H is None else H
         ang = float(np.deg2rad(abs(fu - fd))) / max(int(h), 1)
-        if self.s_beam_angles is not None:
-            gaps = np.abs(np.diff(np.sort(np.asarray(self.s_beam_angles))))
-            if gaps.size:
-                ang = max(ang, float(gaps.max()))
-        return ang
+        gap = getattr(self, "_s_beam_gap", None)
+        if gap is None:
+            gap = 0.0
+            if self.s_beam_angles is not None:
+                gaps = np.abs(np.diff(np.sort(
+                    np.asarray(self.s_beam_angles))))
+                if gaps.size:
+                    gap = float(gaps.max())
+            self._s_beam_gap = gap
+        return max(ang, gap)
 
     def _raycast(self, state: TS.TSDFState, origin_vol, pts, valid
                  ) -> VirtualScan:

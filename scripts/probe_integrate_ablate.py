@@ -51,7 +51,7 @@ def build_cols(depth_im, label_im, rem_im, origin, voxel_size):
 
 
 def kernel_call(kern_fn, params, dcol, lrcol, v_tab, state, dtypes):
-    state_spec, col_spec, smem_spec = TP._specs(Z, CW, BY, BX)
+    state_spec, col_spec, smem_spec = TP._specs(Z, BY, BX)
     state_in_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_state_idx = (0, 2, 3)
     return pl.pallas_call(
@@ -185,7 +185,7 @@ def main():
                         jnp.float32(1.0),
                         jnp.asarray(dims, jnp.float32))
     kern = functools.partial(
-        TP._kernel, Y=Y, Z=Z, H=H, CW=CW, R=BY, BX=BX,
+        TP._kernel, Z=Z, H=H, CW=CW, R=BY, BX=BX,
         voxel_size=0.05, trunc=0.25, reset=True, has_vtab=True,
         write_weight=False)
     dtypes = (jnp.bfloat16, jnp.int16, jnp.bfloat16)

@@ -270,8 +270,9 @@ def test_pallas_chain_compact_tolerance(setup):
 
 
 def test_input_guard_catches_bad_labels_and_remissions():
-    """enqueue_input_guard + drain: labels >= 512 and remissions outside
-    [0, 1] must raise (the packed f32 column cannot represent them)."""
+    """enqueue_input_guard + drain: labels >= 512 raise (silent packing
+    corruption otherwise); remissions outside [0, 1] warn (winners are
+    clipped by the kernel; non-winners never pack)."""
     import jax.numpy as jnp
     import pytest
 
@@ -288,12 +289,14 @@ def test_input_guard_catches_bad_labels_and_remissions():
     with pytest.raises(ValueError, match="label ids"):
         TP.drain_label_checks()
     TP.drain_label_checks()   # queue must be clean afterwards
-    # bad remission range
+    # out-of-range remission WARNS (once) rather than aborts: only each
+    # pixel's winner is packed (and the kernel clips it), so stray values
+    # on occluded points are harmless — but the user should normalize
+    TP._verify_check._rem_warned = False
     TP.enqueue_input_guard(jnp.asarray([3, 4, 0]),
                            jnp.asarray([0.0, 2.5, 0.0]), valid)
-    with pytest.raises(ValueError, match="remission"):
-        TP.drain_label_checks()
     TP.drain_label_checks()
+    assert getattr(TP._verify_check, "_rem_warned", False)
 
 
 def test_materialized_mergemesh_guards_traced_integrate(synthetic_dataset,
