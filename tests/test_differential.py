@@ -15,6 +15,26 @@ from lidar_transfer_tpu.ops import tsdf as TS
 from lidar_transfer_tpu.ops.tsdf_pallas import integrate_pallas, supports
 
 
+def _pixel_boundary_dist(pw, fov_up, fov_down, H, W):
+    """Min angular distance (rad) of a world point to ANY projection
+    quantization boundary: the FOV edges, the H row boundaries, and the
+    W column boundaries. Voxels within float epsilon of one are
+    measure-zero ambiguities — f32-vs-f64 rounding or the pallas
+    kernel's minimax atan (~1e-5 rad) can flip which pixel they read,
+    which changes the fused value by O(1) legitimately."""
+    d = max(np.linalg.norm(pw), 1e-12)
+    pitch = np.arcsin(pw[2] / d)
+    yaw = -np.arctan2(pw[1], pw[0])
+    fov = np.deg2rad(abs(fov_up) + abs(fov_down))
+    v = (1.0 - (pitch + abs(np.deg2rad(fov_down))) / fov) * H
+    u = 0.5 * (yaw / np.pi + 1.0) * W
+    dv = abs(v - round(v)) * fov / H          # rows -> rad
+    du = abs(u - round(u)) * 2.0 * np.pi / W  # cols -> rad
+    edge = min(abs(pitch - np.deg2rad(fov_up)),
+               abs(pitch - np.deg2rad(fov_down)))
+    return min(dv, du, edge)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_integrate_three_way(seed):
     """XLA integrate == Pallas(interpret) == numpy oracle on random
@@ -52,22 +72,33 @@ def test_integrate_three_way(seed):
         nt, nw, nl, nr = TS.integrate_reference_numpy(
             nt, nw, nl, nr, spec, depth, label, rem, fov_up, fov_down)
 
-    np.testing.assert_allclose(np.asarray(xs.tsdf), nt, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(xs.label), nl)
+    # XLA vs f64 numpy oracle: f32 projection arithmetic may flip the
+    # row/col of a voxel sitting on a pixel boundary (a 60-seed soak
+    # found ~1 voxel per ~40k at < 1e-6 rad of a row boundary); any
+    # disagreeing voxel must be ON such a boundary and rare
+    lx, ln_ = np.asarray(xs.label), nl
+    mism_o = np.argwhere(lx != ln_)
+    for ijk in mism_o:
+        pw = (np.asarray(spec.origin)
+              + np.asarray(ijk) * spec.voxel_size)
+        bd = _pixel_boundary_dist(pw, fov_up, fov_down, H, W)
+        assert bd < 3e-5, (ijk, bd)
+    assert len(mism_o) <= 3
+    ok_o = lx == ln_
+    np.testing.assert_allclose(np.asarray(xs.tsdf)[ok_o], nt[ok_o],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs.rem)[ok_o], nr[ok_o],
+                               atol=1e-5)
 
-    # pallas vs XLA: the kernel's minimax atan (~1e-5 rad) may flip the
-    # in_fov decision for voxels sitting exactly on the FOV boundary —
-    # assert any disagreement lies inside that epsilon band and nowhere
-    # else (tsdf_pallas._atan_poly docstring)
+    # pallas vs XLA: the kernel's minimax atan/asin (~1e-5 rad) may
+    # additionally flip pixel decisions in the same epsilon band
     la, lp = np.asarray(xs.label), np.asarray(ps.label)
     mism = np.argwhere(la != lp)
     for ijk in mism:
         pw = (np.asarray(spec.origin)
               + np.asarray(ijk) * spec.voxel_size)
-        pitch = np.arcsin(pw[2] / max(np.linalg.norm(pw), 1e-12))
-        dist_to_edge = min(abs(pitch - np.deg2rad(fov_up)),
-                           abs(pitch - np.deg2rad(fov_down)))
-        assert dist_to_edge < 3e-5, (ijk, dist_to_edge)
+        bd = _pixel_boundary_dist(pw, fov_up, fov_down, H, W)
+        assert bd < 3e-5, (ijk, bd)
     assert len(mism) <= 3
     ok = la == lp
     np.testing.assert_allclose(np.asarray(xs.tsdf)[ok],
@@ -75,7 +106,6 @@ def test_integrate_three_way(seed):
     # pallas remission rides the 14-bit packed channel
     np.testing.assert_allclose(np.asarray(xs.rem)[ok],
                                np.asarray(ps.rem)[ok], atol=2e-4)
-    np.testing.assert_allclose(np.asarray(xs.rem), nr, atol=1e-5)
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])
