@@ -85,7 +85,12 @@ def _ray_box(origins, dirs, box: Box):
     tmin = np.minimum(t0, t1).max(axis=1)
     tmax = np.maximum(t0, t1).min(axis=1)
     hit = (tmax >= np.maximum(tmin, 1e-4))
-    return np.where(hit, np.where(tmin > 1e-4, tmin, np.inf), np.inf)
+    # origin INSIDE the box (tmin <= eps < tmax): the nearest surface
+    # along the ray is the exit face at tmax — returning inf would make
+    # the oracle see THROUGH solid geometry for poses driven into an
+    # object, silently inverting test verdicts
+    entry = np.where(tmin > 1e-4, tmin, tmax)
+    return np.where(hit, entry, np.inf)
 
 
 def _ray_cylinder(origins, dirs, cyl: Cylinder):
@@ -99,10 +104,17 @@ def _ray_cylinder(origins, dirs, cyl: Cylinder):
     disc = b * b - 4 * a * c
     ok = (disc >= 0) & (a > 1e-12)
     sq = np.sqrt(np.maximum(disc, 0.0))
-    t = (-b - sq) / np.where(a > 1e-12, 2 * a, 1.0)
-    z = origins[:, 2] + t * dirs[:, 2]
-    ok &= (t > 1e-4) & (z >= cyl.z_range[0]) & (z <= cyl.z_range[1])
-    return np.where(ok, t, np.inf)
+    denom = np.where(a > 1e-12, 2 * a, 1.0)
+    # test BOTH quadratic roots against the z clip: a ray whose near
+    # root lies outside z_range can still enter the clipped cylinder
+    # wall at the far root (e.g. steep rays past the open cap)
+    best = np.full(origins.shape[0], np.inf)
+    for t in ((-b - sq) / denom, (-b + sq) / denom):
+        z = origins[:, 2] + t * dirs[:, 2]
+        good = ok & (t > 1e-4) & (z >= cyl.z_range[0]) \
+            & (z <= cyl.z_range[1])
+        best = np.where(good & (t < best), t, best)
+    return best
 
 
 def raycast_scene(scene: Scene, origins: np.ndarray, dirs: np.ndarray

@@ -90,6 +90,19 @@ class RangeNet(nn.Module):
         dt = c.compute_dtype
         x = x.astype(dt)
 
+        # pad the width to a multiple of 2^n_stages (the stride-(1,2)
+        # SAME convs ceil-divide odd widths, so the decoder's x2 resize
+        # would overshoot its skip and concatenate would fail for any
+        # W not divisible by the total stride — e.g. a 1800-wide VLP16
+        # config); logits are cropped back below. Edge padding keeps
+        # the horizontal wrap-around statistics reasonable.
+        W_in = x.shape[2]
+        stride = 2 ** len(c.stage_blocks)
+        pad_w = (-W_in) % stride
+        if pad_w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
+                        mode="edge")
+
         h = nn.Conv(c.stem_features, (3, 3), use_bias=False, dtype=dt)(x)
         h = nn.GroupNorm(num_groups=None, group_size=16, dtype=dt)(h)
         h = nn.leaky_relu(h, 0.1)
@@ -115,6 +128,8 @@ class RangeNet(nn.Module):
             h = jnp.concatenate([h, skip.astype(dt)], axis=-1)
 
         logits = nn.Conv(c.num_classes, (1, 1), dtype=jnp.float32)(h)
+        if pad_w:
+            logits = logits[:, :, :W_in, :]
         return logits.astype(jnp.float32)
 
 

@@ -19,15 +19,21 @@ import jax.numpy as jnp
 def lane_pick(vol_flat: jax.Array, idx: jax.Array) -> jax.Array:
     """``vol_flat[idx]`` via row gather + one-hot lane reduce.
 
-    Exact for any dtype (exactly one lane survives the mask, so the
-    reduction adds a single element to zero). Falls back to the plain
-    gather when the volume isn't 128-divisible.
+    A true drop-in for the gather: out-of-range indices clamp to the
+    last element (XLA gather clamp semantics — clipping the FULL index
+    first, not row and lane separately, which would pick a different
+    element), exactly one lane survives the mask so the reduction adds
+    a single element to zero, and the result keeps ``vol_flat``'s dtype
+    (``jnp.sum`` alone would promote bool/int8 to int32). Falls back to
+    the plain gather when the volume isn't 128-divisible.
     """
     nvox = vol_flat.shape[0]
     if nvox % 128:
         return vol_flat[idx]
+    idx = jnp.clip(idx, 0, nvox - 1)
     rows = vol_flat.reshape(-1, 128)[idx // 128]          # (n, 128)
     oh = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
           == (idx % 128)[:, None])
     zero = jnp.zeros((), rows.dtype)
-    return jnp.sum(jnp.where(oh, rows, zero), axis=1)
+    return jnp.sum(jnp.where(oh, rows, zero), axis=1,
+                   dtype=rows.dtype)

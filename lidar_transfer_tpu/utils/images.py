@@ -8,6 +8,7 @@ we render the range image properly).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -15,8 +16,11 @@ import numpy as np
 from lidar_transfer_tpu.config import TransferConfig, make_color_lut
 
 
+@functools.lru_cache(maxsize=8)
 def get_mpl_colormap(cmap_name: str = "viridis") -> np.ndarray:
-    """256x3 uint8 LUT from a matplotlib colormap (≡ tools.py:7-16)."""
+    """256x3 uint8 LUT from a matplotlib colormap (≡ tools.py:7-16).
+
+    Cached: the CLI's --png export calls this per frame."""
     import matplotlib
 
     cmap = matplotlib.colormaps[cmap_name].resampled(256)
@@ -35,8 +39,20 @@ def convert_range(data: np.ndarray, power: float = 16.0) -> np.ndarray:
 
 
 def label_image_rgb(label: np.ndarray, cfg: TransferConfig) -> np.ndarray:
-    """(H,W) raw label ids -> (H,W,3) uint8 RGB via the (BGR) color map."""
-    lut = make_color_lut(cfg.color_map_bgr)
+    """(H,W) raw label ids -> (H,W,3) uint8 RGB via the (BGR) color map.
+
+    The LUT build (a Python loop over the color map) is cached per
+    config object — the CLI's --png export calls this per frame."""
+    cache = getattr(label_image_rgb, "_lut_cache", None)
+    if cache is None:
+        cache = {}
+        label_image_rgb._lut_cache = cache
+    key = id(cfg)
+    lut = cache.get(key)
+    if lut is None:
+        lut = make_color_lut(cfg.color_map_bgr)
+        cache.clear()               # hold at most one config's LUT
+        cache[key] = lut
     bgr = lut[np.clip(label, 0, lut.shape[0] - 1)]
     rgb = bgr[..., ::-1]
     return (rgb * 255).astype(np.uint8)

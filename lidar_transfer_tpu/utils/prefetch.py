@@ -57,6 +57,11 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        # after close() the queue may be fully drained (the STOP sentinel
+        # included) with the worker gone — a blocking get() would hang
+        # the caller forever instead of ending the iteration
+        if self._closed.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._STOP:
             raise StopIteration

@@ -24,7 +24,13 @@ def range_image_to_torch(ri, points=None) -> dict:
       proj_remission (H,W)    float32
       proj_idx       (H,W)    int64     (-1 where no data)
       proj_mask      (H,W)    float32
-      proj_x/proj_y  (H,W)    int64
+      proj_x/proj_y  (N,)     int64     per-POINT pixel coords — the
+                              reference's layout (laserscan.py:49
+                              "[m,1]": unproj consumers scatter pixel
+                              predictions back to points through them)
+      unproj_range   (N,)     float32   per-point range (laserscan.py:47)
+      points_valid   (N,)     bool      point survived projection
+                              filters (padded capacity rows are False)
 
     ``points``: the (N,3) point array the RangeImage was projected from
     (padded capacity matching ``ri.index``); per-pixel xyz of the winning
@@ -42,8 +48,15 @@ def range_image_to_torch(ri, points=None) -> dict:
         "proj_idx": torch.from_numpy(
             np.asarray(ri.index, np.int64)),
         "proj_mask": torch.from_numpy(mask.astype(np.float32)),
-        "proj_x": torch.from_numpy(np.asarray(ri.u_int, np.int64)),
-        "proj_y": torch.from_numpy(np.asarray(ri.v_int, np.int64)),
+        # per-POINT pixel coords, the reference's proj_x/proj_y layout
+        # (laserscan.py:49): one entry per input point, for scattering
+        # per-pixel predictions back to the cloud
+        "proj_x": torch.from_numpy(np.asarray(ri.point_u, np.int64)),
+        "proj_y": torch.from_numpy(np.asarray(ri.point_v, np.int64)),
+        "unproj_range": torch.from_numpy(
+            np.asarray(ri.point_depth, np.float32)),
+        "points_valid": torch.from_numpy(
+            np.asarray(ri.point_valid, bool)),
     }
     if points is not None:
         idx = np.asarray(ri.index, np.int64)

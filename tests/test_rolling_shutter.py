@@ -126,9 +126,21 @@ def test_torch_interop(synthetic_dataset, small_spec):
                          fov_up_deg=small_spec.fov_up,
                          fov_down_deg=small_spec.fov_down)
     t = range_image_to_torch(ri, points=p)
-    # full reference torch() key set (laserscan.py:503-534)
+    # full reference torch() key set (laserscan.py:503-534) + per-point
+    # extras
     assert set(t) == {"proj_range", "proj_xyz", "proj_remission",
-                      "proj_idx", "proj_mask", "proj_x", "proj_y"}
+                      "proj_idx", "proj_mask", "proj_x", "proj_y",
+                      "unproj_range", "points_valid"}
+    # proj_x/proj_y are per-POINT (the reference's [m,1] layout,
+    # laserscan.py:49) — scattering pixel predictions back to the cloud
+    # through them must reproduce the per-point label projection
+    N = p.shape[0]
+    assert t["proj_x"].shape == (N,) and t["proj_y"].shape == (N,)
+    assert t["unproj_range"].shape == (N,)
+    per_point = np.asarray(ri.label)[t["proj_y"].numpy(),
+                                      t["proj_x"].numpy()]
+    assert per_point.shape == (N,)
+    assert t["points_valid"].numpy().dtype == bool
     assert t["proj_range"].dtype == torch.float32
     assert t["proj_idx"].dtype == torch.int64
     assert t["proj_range"].shape == (small_spec.H, small_spec.W)
