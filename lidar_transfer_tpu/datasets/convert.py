@@ -44,13 +44,14 @@ def write_dummy_calib(directory: str) -> None:
 
 
 def write_kitti_poses(filename: str, poses: np.ndarray) -> None:
-    """(N,4,4) poses -> KITTI poses.txt (3x4 rows, first pose rebased)."""
+    """(N,4,4) poses -> KITTI poses.txt (3x4 rows, first pose rebased).
+
+    Rebasing here; the row serialization is kitti.write_poses' (one
+    format for every poses.txt this repo emits)."""
+    from lidar_transfer_tpu.datasets.kitti import write_poses
+
     ref = np.linalg.inv(poses[0])
-    with open(filename, "w") as f:
-        for pose in poses:
-            rel = ref @ pose
-            f.write(" ".join(str(v) for v in rel[:3, :4].reshape(-1)))
-            f.write("\n")
+    write_poses(filename, np.einsum("ij,njk->nik", ref, poses))
 
 
 # --------------------------------------------------------------------- NCLT
@@ -79,14 +80,10 @@ def nclt_decode(raw: bytes) -> tuple[np.ndarray, np.ndarray]:
 def convert_nclt(input_dir: str, output_dir: str, scene_name: str,
                  verbose: bool = True) -> int:
     """Convert an NCLT velodyne tree to a KITTI sequence. Returns #scans."""
-    from lidar_transfer_tpu.datasets.kitti import write_scan_file
+    from lidar_transfer_tpu.datasets.kitti import (_sorted_files,
+                                                    write_scan_file)
 
-    scan_files = []
-    for dirname, _, files in os.walk(input_dir):
-        for fname in sorted(files):
-            if fname.endswith(".bin"):
-                scan_files.append(os.path.join(dirname, fname))
-    scan_files.sort()
+    scan_files = _sorted_files(input_dir, ".bin")
 
     scene_dir = os.path.join(output_dir, "sequences", scene_name)
     os.makedirs(os.path.join(scene_dir, "velodyne"), exist_ok=True)
@@ -161,22 +158,30 @@ def convert_ford(source: str, output_dir: str, sequence: str,
     poses = []
     n_written = 0
     for i, fname in enumerate(scan_files):
-        mat = scipy.io.loadmat(fname)
-        scan = mat["SCAN"]
-        poses.append(ford_pose(scan["X_wv"][0, 0]))
-
-        xyz = np.asarray(scan["XYZ"][0, 0], np.float64)      # (3, N)
+        # skip corrupt .mat files like the reference's per-scan
+        # try/except (ford2kitti.py:155) — one bad scan must not abort
+        # the run and strand the already-written tree without poses
+        try:
+            mat = scipy.io.loadmat(fname)
+            scan = mat["SCAN"]
+            pose = ford_pose(scan["X_wv"][0, 0])
+            xyz = np.asarray(scan["XYZ"][0, 0], np.float64)  # (3, N)
+        except Exception as e:          # noqa: BLE001 — matches reference
+            print(f"Ford scan {fname}: skipped ({e})")
+            continue
+        poses.append(pose)
         pts = (C @ xyz).T.astype(np.float32)
         write_scan_file(
-            os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"),
+            os.path.join(seq_dir, "velodyne",
+                         f"{n_written:06d}.bin"),
             pts, np.zeros(pts.shape[0], np.float32))
         n_written += 1
+        # keep poses.txt in lockstep with the written scans so an
+        # interrupted run still leaves a loadable prefix tree
+        write_kitti_poses(os.path.join(seq_dir, "poses.txt"),
+                          np.stack(poses))
         if verbose and i % 50 == 0:
             print(f"Ford scan {i}/{len(scan_files)}")
-
-    # write_kitti_poses rebases to the first pose, matching the
-    # reference's first_pose @ T (ford2kitti.py:103)
-    write_kitti_poses(os.path.join(seq_dir, "poses.txt"), np.stack(poses))
     return n_written
 
 
@@ -213,7 +218,11 @@ def convert_nuscenes(dataroot: str, output_dir: str,
 
     out_counts: dict[str, int] = {}
     for name in names:
-        scene_dir = os.path.join(output_dir, name)
+        # under sequences/<scene> so the converted tree loads directly in
+        # KittiSequence / lt-compare-datasets, like the nclt/ford
+        # converters (deviation from the reference nuscenes2kitti.py,
+        # which wrote <out>/<scene> — a tree nothing here could open)
+        scene_dir = os.path.join(output_dir, "sequences", name)
         velo_dir = os.path.join(scene_dir, "velodyne")
         os.makedirs(velo_dir, exist_ok=True)
 

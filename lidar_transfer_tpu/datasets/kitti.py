@@ -165,9 +165,21 @@ class KittiSequence:
         return len(self.scan_files)
 
     def read(self, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """-> (points (N,3), remissions (N,), labels (N,) int32)."""
+        """-> (points (N,3), remissions (N,), labels (N,) int32).
+
+        Label-less sequences (``require_labels=False`` on a converted
+        NCLT/Ford/nuScenes tree) return all-zero labels instead of
+        raising on the empty ``label_files`` list — callers that used to
+        hand-roll this bypass (visualize, lt-seg infer) get the same
+        contract from the method now."""
         points, rem = read_scan_file(self.scan_files[idx])
-        labels = read_label_file(self.label_files[idx], points.shape[0])
+        # pair labels only when the lists align 1:1 — a PARTIAL labels
+        # dir would otherwise silently pair scan idx with the wrong file
+        if len(self.label_files) == len(self.scan_files):
+            labels = read_label_file(self.label_files[idx],
+                                     points.shape[0])
+        else:
+            labels = np.zeros(points.shape[0], np.int32)
         return points, rem, labels
 
 

@@ -86,6 +86,12 @@ def read_ply(filename: str) -> tuple[np.ndarray, np.ndarray]:
             face_dt = np.dtype([("cnt", np.uint8), ("idx", np.int32, 3)])
             frec = np.frombuffer(fh.read(nf * face_dt.itemsize), face_dt)
             return vrec["xyz"].copy(), frec["idx"].copy()
-        verts = np.loadtxt(fh, max_rows=nv)[:, :3].astype(np.float32)
-        faces = np.loadtxt(fh, max_rows=nf)[:, 1:4].astype(np.int32)
+        # ndmin=2: loadtxt squeezes single-row blocks to 1-D; empty
+        # blocks additionally come back (0, 1)-shaped, so short-circuit
+        verts = (np.loadtxt(fh, max_rows=nv,
+                            ndmin=2)[:, :3].astype(np.float32)
+                 if nv else np.zeros((0, 3), np.float32))
+        faces = (np.loadtxt(fh, max_rows=nf, ndmin=2)[:, 1:4]
+                 .astype(np.int32) if nf else
+                 np.zeros((0, 3), np.int32))
         return verts, faces
