@@ -156,6 +156,8 @@ def convert_ford(source: str, output_dir: str, sequence: str,
 
     C = rot_z(np.deg2rad(-90.0))      # into KITTI velodyne frame, x forward
     poses = []
+    ref_inv = None
+    pose_fh = None
     n_written = 0
     for i, fname in enumerate(scan_files):
         # skip corrupt .mat files like the reference's per-scan
@@ -176,12 +178,21 @@ def convert_ford(source: str, output_dir: str, sequence: str,
                          f"{n_written:06d}.bin"),
             pts, np.zeros(pts.shape[0], np.float32))
         n_written += 1
-        # keep poses.txt in lockstep with the written scans so an
-        # interrupted run still leaves a loadable prefix tree
-        write_kitti_poses(os.path.join(seq_dir, "poses.txt"),
-                          np.stack(poses))
+        # keep poses.txt in lockstep with the written scans (an
+        # interrupted run leaves a loadable prefix tree) by APPENDING
+        # one rebased row — rewriting the whole file per scan is O(N^2)
+        # over a multi-thousand-scan log
+        if ref_inv is None:
+            ref_inv = np.linalg.inv(pose)
+            pose_fh = open(os.path.join(seq_dir, "poses.txt"), "w")
+        rel = ref_inv @ pose
+        pose_fh.write(" ".join(
+            f"{v:.6e}" for v in rel[:3, :4].reshape(-1)) + "\n")
+        pose_fh.flush()
         if verbose and i % 50 == 0:
             print(f"Ford scan {i}/{len(scan_files)}")
+    if pose_fh is not None:
+        pose_fh.close()
     return n_written
 
 

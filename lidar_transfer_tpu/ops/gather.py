@@ -30,7 +30,9 @@ def lane_pick(vol_flat: jax.Array, idx: jax.Array) -> jax.Array:
     nvox = vol_flat.shape[0]
     if nvox % 128:
         return vol_flat[idx]
-    idx = jnp.clip(idx, 0, nvox - 1)
+    # match the gather exactly: negatives wrap numpy-style FIRST, then
+    # out-of-range clamps to the ends (XLA gather clamp semantics)
+    idx = jnp.clip(jnp.where(idx < 0, idx + nvox, idx), 0, nvox - 1)
     rows = vol_flat.reshape(-1, 128)[idx // 128]          # (n, 128)
     oh = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
           == (idx % 128)[:, None])

@@ -43,16 +43,14 @@ def label_image_rgb(label: np.ndarray, cfg: TransferConfig) -> np.ndarray:
 
     The LUT build (a Python loop over the color map) is cached per
     config object — the CLI's --png export calls this per frame."""
-    cache = getattr(label_image_rgb, "_lut_cache", None)
-    if cache is None:
-        cache = {}
-        label_image_rgb._lut_cache = cache
-    key = id(cfg)
-    lut = cache.get(key)
-    if lut is None:
-        lut = make_color_lut(cfg.color_map_bgr)
-        cache.clear()               # hold at most one config's LUT
-        cache[key] = lut
+    # cache holds (cfg, lut) so the cfg object stays alive while its
+    # LUT is cached — an id()-keyed cache could silently serve a stale
+    # LUT when a garbage-collected config's address is reused
+    entry = getattr(label_image_rgb, "_lut_cache", None)
+    if entry is None or entry[0] is not cfg:
+        entry = (cfg, make_color_lut(cfg.color_map_bgr))
+        label_image_rgb._lut_cache = entry    # at most one config's LUT
+    lut = entry[1]
     bgr = lut[np.clip(label, 0, lut.shape[0] - 1)]
     rgb = bgr[..., ::-1]
     return (rgb * 255).astype(np.uint8)

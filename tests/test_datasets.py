@@ -116,3 +116,82 @@ def test_prefetcher_order_and_errors():
     it2 = Prefetcher(lambda i: i, range(1000), depth=2)
     assert next(it2)[0] == 0
     it2.close()
+
+
+def test_ply_ascii_edge_rows(tmp_path):
+    """Single-row and empty vertex/face blocks round-trip in BOTH ply
+    encodings (np.loadtxt squeezes them to 1-D without ndmin=2)."""
+    import numpy as np
+
+    from lidar_transfer_tpu.utils.plyio import read_ply, write_ply
+
+    for binary in (False, True):
+        for nv, nf in ((0, 0), (1, 0), (3, 1), (4, 2)):
+            p = str(tmp_path / f"{binary}_{nv}_{nf}.ply")
+            v = np.arange(nv * 3, dtype=np.float32).reshape(nv, 3)
+            f = (np.arange(nf * 3) % max(nv, 1)).reshape(nf, 3).astype(
+                np.int32)
+            write_ply(p, v, f, binary=binary)
+            rv, rf = read_ply(p)[:2]
+            assert rv.shape == (nv, 3) and rf.shape == (nf, 3)
+
+
+def test_prefetcher_next_after_close_stops():
+    """__next__ after close() ends the iteration instead of blocking
+    forever on the drained queue."""
+    import pytest
+
+    from lidar_transfer_tpu.utils.prefetch import Prefetcher
+
+    pf = Prefetcher(lambda i: i * 2, range(100), depth=2)
+    next(pf)
+    pf.close()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
+def test_lane_pick_matches_gather_semantics():
+    """lane_pick is a drop-in for vol[idx] incl. negative wrap and OOB
+    clamp, keeping the volume dtype, on BOTH the lane and fallback
+    paths."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.ops.gather import lane_pick
+
+    for n in (256, 255):               # lane path / fallback path
+        for dt in (np.int32, np.float32, np.int8, bool):
+            base = np.arange(n) % 2 if dt is bool else np.arange(n)
+            vol = jnp.asarray(base, dt)
+            idx = jnp.asarray([-1, -5, 0, n - 1, n + 50, -(n + 50)])
+            got = np.asarray(lane_pick(vol, idx))
+            want = np.asarray(vol[idx])
+            assert got.dtype == want.dtype
+            np.testing.assert_array_equal(got, want)
+
+
+def test_oracle_solid_interiors():
+    """Rays starting inside a Box hit its exit face; clipped cylinders
+    are opaque via the far quadratic root (open-cap entry)."""
+    import numpy as np
+
+    from lidar_transfer_tpu.datasets import synthetic
+
+    box = synthetic.Box(center=(0.0, 0.0, 1.0), size=(2.0, 2.0, 2.0),
+                        label=10)
+    o = np.asarray([[0.0, 0.0, 1.0]])          # inside the box
+    d = np.asarray([[1.0, 0.0, 0.0]])
+    t = synthetic._ray_box(o, d, box)
+    np.testing.assert_allclose(t, [1.0], atol=1e-6)  # exit face at x=1
+
+    cyl = synthetic.Cylinder(center=(5.0, 0.0), radius=1.0,
+                             z_range=(0.0, 2.0), label=18)
+    # steep ray entering through the open top region: near root above
+    # z_max, far root inside the clipped wall
+    o2 = np.asarray([[5.0, -2.0, 4.0]])
+    d2 = np.asarray([[0.0, 1.0, -1.0]])
+    d2 = d2 / np.linalg.norm(d2)
+    t2 = synthetic._ray_cylinder(o2, d2, cyl)
+    assert np.isfinite(t2[0])
+    z_hit = o2[0, 2] + t2[0] * d2[0, 2]
+    assert 0.0 <= z_hit <= 2.0

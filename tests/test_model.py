@@ -100,3 +100,21 @@ def test_normalization_trains():
              if "GroupNorm" in str(k)}
     moved = [k for k in flat0 if not np.allclose(flat0[k], flat1[k])]
     assert moved, "GroupNorm scale/bias never changed across train steps"
+
+
+def test_rangenet_arbitrary_widths():
+    """Widths not divisible by the total stride must pad+crop cleanly
+    (stride-(1,2) SAME convs ceil-divide; the decoder's x2 resize used
+    to overshoot its skip and crash at init for W % 2^n_stages != 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_transfer_tpu.models import RangeNet, RangeNetConfig
+
+    cfg = RangeNetConfig.tiny(num_classes=5)
+    model = RangeNet(cfg)
+    for W in (6, 13, 31):
+        x = jnp.zeros((1, 8, W, cfg.input_channels), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (1, 8, W, 5)
