@@ -67,6 +67,11 @@ def parse_args(argv=None):
     ap.add_argument("--identity", action="store_true",
                     help="identity 64x2048 target instead of 32 beams "
                          "(BASELINE.md protocol's second operating point)")
+    ap.add_argument("--upsample", action="store_true",
+                    help="128x2048 target (2x beam density): exercises "
+                         "the chord-interpolated upsampling coverage "
+                         "(ops/splat._interp_candidates; classic body — "
+                         "the fast body falls back while interp is on)")
     ap.add_argument("--adaption", default="mergemesh",
                     choices=["mergemesh", "mesh", "cp"],
                     help="mesh = per-scan integrates (staged dispatch; "
@@ -312,6 +317,11 @@ def measure(args):
     source = HDL64
     if args.identity:
         target = source          # 64x2048 -> 64x2048 (protocol's 2nd point)
+    elif args.upsample:
+        target = SensorSpec(name="HDL64x2", beams=128,
+                            fov_up=source.fov_up,
+                            fov_down=source.fov_down,
+                            angle_res_hor=source.angle_res_hor)
     else:
         target = SensorSpec(name="HDL32-like", beams=32, fov_up=3.0,
                             fov_down=-25.0, angle_res_hor=360.0 / 2048.0)

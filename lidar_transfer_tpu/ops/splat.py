@@ -396,12 +396,90 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     return pos_c, t_c, tsdf_c, label_c, rem_c, found
 
 
+@functools.partial(jax.jit, static_argnames=("H", "W", "m_v", "m_u"))
+def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
+                       rem_flat, thresh, tan_min, *, H, W, m_v, m_u):
+    """Chord-interpolated candidates between adjacent source returns —
+    the splat's equivalent of the reference's mesh interpolation.
+
+    The reference's raycast hits TRIANGLE INTERIORS of the marched
+    surface (RayTracer.cpp:62-92), so a target grid DENSER than the
+    source still gets interior returns between adjacent source beams.
+    A one-candidate-per-source-ray splat cannot cover those pixels
+    (every candidate lands on a source ray direction). This emits
+    ``m_v`` extra candidates along the 3-D chord between vertically
+    adjacent valid pixels and ``m_u`` along horizontally adjacent ones
+    (with yaw wrap-around), gated by the connectivity the marched
+    TSDF surface effectively has: two returns are connected iff
+    (a) their truncation bands overlap along the rays
+    (|r_a - r_b| <= trunc_margin), OR (b) the chord between them makes
+    a grazing-surface angle with the far ray — the classic range-image
+    criterion beta = atan2(r_near sin dtheta, r_far - r_near cos dtheta)
+    (Bogoslavskyi & Stachniss' ground/segment test): a continuous
+    surface seen at grazing incidence (road ahead) has beta of several
+    degrees even when |r_a - r_b| is many truncation margins (its band
+    carpet is CONTIGUOUS laterally, which is exactly why the raymarcher
+    and the reference's mesh hit it), while a real depth discontinuity
+    (object edge against background) has beta -> 0. ``tan_min`` is
+    tan(beta_threshold).
+
+    Interpolated candidates are ON the surface (tsdf = 0, so the
+    zero-crossing correction is a no-op), carry the NEARER-half
+    endpoint's label (the reference's mesh takes vertex-0's —
+    RayTracer.cpp:75 — both are 'a corner of the interpolated cell'),
+    and lerp remission (the reference means the 3 vertices,
+    Triangle.h:63-70).
+
+    Returns the standard candidate tuple (pos (N,3), depth (N,),
+    tsdf (N,), label int32 (N,), rem (N,), valid (N,)) with static
+    N = m_v*(H-1)*W + m_u*H*W.
+    """
+    img_r = rng_flat.reshape(H, W)
+    img_p = pts_flat.reshape(H, W, 3)
+    img_v = valid_flat.reshape(H, W)
+    img_l = label_flat.reshape(H, W).astype(jnp.int32)
+    img_e = rem_flat.reshape(H, W)
+    parts = []
+
+    def emit(sl_a, sl_b, m):
+        ra, rb = sl_a(img_r), sl_b(img_r)
+        pa, pb = sl_a(img_p), sl_b(img_p)
+        # band overlap OR grazing-surface angle (docstring)
+        sa = jnp.maximum(ra, 1e-6)[..., None]
+        sb = jnp.maximum(rb, 1e-6)[..., None]
+        cosd = jnp.clip(jnp.sum((pa / sa) * (pb / sb), axis=-1),
+                        -1.0, 1.0)
+        sind = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosd * cosd))
+        rn = jnp.minimum(ra, rb)
+        rf = jnp.maximum(ra, rb)
+        den = rf - rn * cosd
+        beta_ok = (den <= 0.0) | (rn * sind >= tan_min * den)
+        ok = (sl_a(img_v) & sl_b(img_v)
+              & (beta_ok | (jnp.abs(ra - rb) <= thresh))).reshape(-1)
+        la, lb = sl_a(img_l).reshape(-1), sl_b(img_l).reshape(-1)
+        ea, eb = sl_a(img_e).reshape(-1), sl_b(img_e).reshape(-1)
+        for j in range(1, m + 1):
+            f = j / (m + 1)
+            pos = (pa + f * (pb - pa)).reshape(-1, 3)
+            t = jnp.linalg.norm(pos, axis=-1)
+            parts.append((pos, t, jnp.zeros_like(t),
+                          la if f <= 0.5 else lb,
+                          ea + f * (eb - ea), ok))
+
+    if m_v:
+        emit(lambda a: a[:-1], lambda a: a[1:], m_v)
+    if m_u:
+        emit(lambda a: a, lambda a: jnp.roll(a, -1, axis=1), m_u)
+    return tuple(jnp.concatenate([p[i] for p in parts])
+                 for i in range(6))
+
+
 def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                      target_H: int, target_W: int,
                      fov_up_deg: float, fov_down_deg: float,
                      vol_origin, active_dims=None, beam_angles=None,
                      samples_per_ray: int = 8, attrs: str = "auto",
-                     label_probe: bool = True):
+                     label_probe: bool = True, interp=None):
     """Synthesize a target-spec virtual scan from the fused volume.
 
     Args:
@@ -424,6 +502,14 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         fold against the wrong pixels silently.
       label_probe: volume path only — see ``_band_samples`` (False =
         raymarcher label-0 semantics, drops the K-sample label gather).
+      interp: None, or (H, W, m_v, m_u, tan_min) — source-image dims,
+        the interior interpolation counts, and the connectivity angle
+        tangent for UPSAMPLING targets (see
+        ``_interp_candidates``; requires every source's flat arrays to
+        be in (H, W) row-major image order, which holds on the
+        image-assembling engine paths but NOT on the z-buffer-ordered
+        fast body — the engine falls back to the classic body when
+        interpolation is active).
 
     Returns a RangeImage-like tuple:
       (range (H,W), label (H,W), remission (H,W), endpoints (H,W,3),
@@ -465,6 +551,15 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                           label_probe=label_probe)
             for (r, p, v, _, _) in sources
         ]
+    if interp is not None:
+        iH, iW, m_v, m_u, tan_min = interp
+        if m_v or m_u:
+            parts.extend(
+                _interp_candidates(r, p, v, lf, rf,
+                                   jnp.float32(spec.trunc_margin),
+                                   jnp.float32(tan_min),
+                                   H=iH, W=iW, m_v=m_v, m_u=m_u)
+                for (r, p, v, lf, rf) in sources)
     pos = jnp.concatenate([a[0] for a in parts])
     tsdf_v = jnp.concatenate([a[2] for a in parts])
     label_v = jnp.concatenate([a[3] for a in parts])

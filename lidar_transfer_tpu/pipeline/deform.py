@@ -121,6 +121,27 @@ class TransferEngine:
     # exactly like mergemesh's); "volume" materializes the chain and
     # probes it (voxel-quantized semantics, ~6 K*HW gathers/frame).
     mesh_attrs: str = "fold"
+    # Upsampling coverage ≡ the reference's mesh interpolation: its
+    # raycast hits triangle INTERIORS between adjacent source beams
+    # (RayTracer.cpp:62-92), so a target grid denser than the source
+    # still fills interior pixels. "auto" (default) detects a denser
+    # target (vertically or horizontally) and adds chord-interpolated
+    # candidates between adjacent connected source returns
+    # (ops/splat._interp_candidates); False disables (pre-round-3
+    # behavior: interior target rows/columns stay empty); True forces
+    # the auto-computed counts (still 0 for non-upsampling targets).
+    # Applies to splat synthesis on the image-assembling bodies; the
+    # z-buffer-ordered mergemesh fast body falls back to the classic
+    # body while interpolation is active. cp is NOT interpolated — the
+    # reference's cp has no mesh either (laserscan.py:827-861).
+    upsample_interp: bool | str = "auto"
+    # Connectivity angle (degrees) for the upsampling interpolation: two
+    # adjacent returns are chord-connected when the classic range-image
+    # angle beta = atan2(r_near sin dt, r_far - r_near cos dt) exceeds
+    # this (grazing continuous surfaces pass, depth discontinuities
+    # fail) or when |dr| <= trunc_margin (band overlap). See
+    # ops/splat._interp_candidates.
+    interp_angle_deg: float = 3.0
 
     def __post_init__(self):
         t = self.target
@@ -155,6 +176,41 @@ class TransferEngine:
             origin=tuple(float(v) for v in vb[:, 0]),
             voxel_size=float(self.cfg.voxel_size),
             dims=self.vol_dims)
+
+        # upsampling-interpolation counts (see the upsample_interp field):
+        # how many interior target rows/columns fall between adjacent
+        # source pixels. Vertical pitch compares the source image's row
+        # height (worst case over the two fov spans it is projected with
+        # — mergemesh uses target fov on source rows, mesh uses source
+        # fov) against the target's finest row pitch (min adjacent
+        # beam-angle gap when explicit beams are given).
+        if self.upsample_interp:
+            span_s = max(self.source.fov_up - self.source.fov_down,
+                         t.fov_up - t.fov_down)
+            src_pitch = span_s / self.source.H
+            if ba is not None and len(ba) > 1:
+                # MEAN gap, not min: non-uniform identity targets have
+                # min gap < span/H and would spuriously activate
+                bd = np.degrees(np.sort(ba))
+                tgt_pitch = float(bd[-1] - bd[0]) / (len(bd) - 1)
+            else:
+                tgt_pitch = (t.fov_up - t.fov_down) / t.H
+            # 0.15 slack: activation needs a genuinely denser target
+            # (ratio > ~1.15), not the H/(H-1) convention mismatch of
+            # an identity pair
+            self._interp_mv = min(8, max(
+                0, int(np.ceil(src_pitch / max(tgt_pitch, 1e-9)
+                               - 0.15)) - 1))
+            self._interp_mu = min(8, max(
+                0, int(np.ceil(t.W / self.source.W - 0.15)) - 1))
+        else:
+            self._interp_mv = 0
+            self._interp_mu = 0
+
+    @property
+    def _interp_active(self) -> bool:
+        return (self.synthesis == "splat"
+                and (self._interp_mv > 0 or self._interp_mu > 0))
 
     # ------------------------------------------------------------------ cp
     def _cp_core(self, window: ScanWindow):
@@ -331,6 +387,11 @@ class TransferEngine:
                              ri.mask.reshape(-1), ri.label.reshape(-1),
                              jnp.maximum(ri.remission, 0.0).reshape(-1)))
             attrs = "auto" if len(sources) == 1 else self.mesh_attrs
+            interp = None
+            if self._interp_active:
+                sH, sW = sources[0][0].range.shape
+                interp = (sH, sW, self._interp_mv, self._interp_mu,
+                          float(np.tan(np.radians(self.interp_angle_deg))))
             rng, lbl, rem, ends, mask = splat_synthesize(
                 state, self.vol_spec, srcs,
                 target_H=self.target.H, target_W=self.target.W,
@@ -338,7 +399,7 @@ class TransferEngine:
                 fov_down_deg=self.target.fov_down,
                 vol_origin=origin_vol, active_dims=active,
                 beam_angles=self.t_beam_angles, attrs=attrs,
-                label_probe=self.band_label_probe)
+                label_probe=self.band_label_probe, interp=interp)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
         return self._raycast(state, origin_vol, pts, valid)
@@ -870,7 +931,11 @@ class TransferEngine:
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
         if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat"):
+                and self.synthesis == "splat"
+                # the fast body's candidates are z-buffer-ordered, not
+                # image-gridded — upsampling interpolation needs the
+                # classic image-assembling body (ops/splat interp doc)
+                and not self._interp_active):
             return self.transfer(window)[0]
         if self.fixed_bounds:
             fn = getattr(self, "_mm_jit_fast", None)
@@ -949,7 +1014,8 @@ class TransferEngine:
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
         if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat" and self.fixed_bounds):
+                and self.synthesis == "splat" and self.fixed_bounds
+                and not self._interp_active):
             outs = [self.transfer_fast(
                 jax.tree.map(lambda x, i=i: x[i], windows))
                 for i in range(windows.points.shape[0])]

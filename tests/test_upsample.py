@@ -1,0 +1,197 @@
+"""Upsampling targets: chord-interpolated splat coverage.
+
+The reference's mesh raycast hits triangle INTERIORS between adjacent
+source beams (RayTracer.cpp:62-92), so a target grid denser than the
+source fills interior pixels; a one-candidate-per-source-ray splat
+cannot. ``ops/splat._interp_candidates`` closes this by emitting chord
+candidates between connected adjacent source returns (band overlap OR
+the grazing-surface angle criterion), auto-activated by the engine when
+the target grid is denser (``TransferEngine.upsample_interp``).
+
+Oracles: the TSDF raymarcher (which fills these pixels natively) and
+the synthetic world's ground-truth target-spec scan.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+from lidar_transfer_tpu.datasets import synthetic
+from lidar_transfer_tpu.datasets.kitti import KittiSequence
+from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+CAP = 8192
+
+
+def _cfg(**kw):
+    base = dict(adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+                voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    base.update(kw)
+    return TransferConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def up_spec(small_spec):
+    """Twice the small_spec's beam density, same fov."""
+    return SensorSpec(name="up32", beams=small_spec.beams * 2,
+                      fov_up=small_spec.fov_up,
+                      fov_down=small_spec.fov_down,
+                      angle_res_hor=small_spec.angle_res_hor)
+
+
+def test_interp_auto_gating(synthetic_dataset, small_spec, up_spec):
+    cfg = _cfg()
+    ident = TransferEngine(small_spec, small_spec, cfg, CAP,
+                           fixed_bounds=True)
+    assert not ident._interp_active
+    assert ident._interp_mv == 0 and ident._interp_mu == 0
+
+    up = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    assert up._interp_active and up._interp_mv == 1
+
+    down = TransferEngine(up_spec, small_spec, cfg, CAP, fixed_bounds=True)
+    assert not down._interp_active
+
+    wide = SensorSpec(name="w2", beams=small_spec.beams,
+                      fov_up=small_spec.fov_up,
+                      fov_down=small_spec.fov_down,
+                      angle_res_hor=small_spec.angle_res_hor / 2.0)
+    wider = TransferEngine(small_spec, wide, cfg, CAP, fixed_bounds=True)
+    assert wider._interp_mu == 1 and wider._interp_mv == 0
+
+    off = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True,
+                         upsample_interp=False)
+    assert not off._interp_active
+
+
+def test_interp_identity_beam_angles_stays_off(synthetic_dataset,
+                                               small_spec):
+    """A non-uniform beam_angles identity pair must NOT activate (its
+    min gap is below span/H; the mean-gap + slack gating ignores the
+    convention mismatch)."""
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    base = np.linspace(small_spec.fov_down, small_spec.fov_up,
+                       small_spec.beams)
+    jitter = rng.uniform(-0.2, 0.2, small_spec.beams) * (
+        base[1] - base[0])
+    ba = np.radians(np.sort(base + jitter)).tolist()
+    spec_ba = dataclasses.replace(small_spec, beam_angles=ba)
+    eng = TransferEngine(spec_ba, spec_ba, _cfg(), CAP, fixed_bounds=True)
+    assert not eng._interp_active
+
+
+def test_upsample_vertical_coverage_and_quality(synthetic_dataset,
+                                                small_spec, up_spec,
+                                                scene):
+    cfg = _cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+
+    base = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True,
+                          upsample_interp=False)
+    vb, _ = base.transfer(win)
+    mb = np.asarray(vb.mask)
+
+    eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    vs, _ = eng.transfer(win)
+    m = np.asarray(vs.mask)
+
+    # interpolation roughly doubles coverage and fills every beam row
+    assert m.mean() > 1.7 * mb.mean()
+    assert m.any(axis=1).all()
+    assert not mb.any(axis=1).all()
+
+    # ground truth: simulate the target-spec scan at the same pose and
+    # compare labels/range where both grids have data
+    from lidar_transfer_tpu.ops import projection as Pj
+    import jax.numpy as jnp
+
+    poses = synthetic.straight_line_poses(5, 1.5)
+    pts, rem, lab = synthetic.simulate_scan(scene, up_spec, poses[1])
+    n = pts.shape[0]
+
+    def pad(a, fill=0):
+        out = np.full((CAP,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a
+        return out
+
+    ri_t = Pj.range_project(
+        jnp.asarray(pad(pts.astype(np.float32))),
+        jnp.asarray(pad(rem.astype(np.float32))),
+        jnp.asarray(pad(lab.astype(np.int32))),
+        jnp.asarray(pad(np.ones(n, bool))),
+        H=up_spec.H, W=up_spec.W, fov_up_deg=up_spec.fov_up,
+        fov_down_deg=up_spec.fov_down)
+    mt = np.asarray(ri_t.mask)
+    lt = np.asarray(ri_t.label)
+    rt = np.asarray(ri_t.range)
+
+    both = m & mt
+    recall = both.sum() / mt.sum()
+    label_acc = (np.asarray(vs.label)[both] == lt[both]).mean()
+    range_mae = np.abs(np.asarray(vs.range)[both] - rt[both]).mean()
+    false_hit = (m & ~mt).mean()
+    assert recall > 0.75
+    assert label_acc > 0.96
+    assert range_mae < 0.5
+    assert false_hit < 0.01
+
+
+def test_upsample_matches_raymarch_bulk(synthetic_dataset, small_spec,
+                                        up_spec):
+    cfg = _cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    ray = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True,
+                         synthesis="raymarch")
+    vs, _ = eng.transfer(win)
+    vr, _ = ray.transfer(win)
+    m, mr = np.asarray(vs.mask), np.asarray(vr.mask)
+    # coverage parity with the volume-marching engine
+    assert abs(m.mean() - mr.mean()) < 0.05
+    both = m & mr
+    agree = (np.asarray(vs.label)[both] == np.asarray(vr.label)[both])
+    assert agree.mean() > 0.9
+
+
+def test_upsample_fast_and_stream_fall_back(synthetic_dataset, small_spec,
+                                            up_spec):
+    """The z-buffer-ordered fast body cannot interpolate; transfer_fast
+    and transfer_stream must route through the classic body and agree
+    with transfer() exactly."""
+    import jax
+
+    cfg = _cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    vs, _ = eng.transfer(win)
+    vf = eng.transfer_fast(win)
+    np.testing.assert_array_equal(np.asarray(vs.mask), np.asarray(vf.mask))
+    np.testing.assert_array_equal(np.asarray(vs.label),
+                                  np.asarray(vf.label))
+
+    from lidar_transfer_tpu.pipeline.multiscan import stack_windows
+
+    sv = eng.transfer_stream(stack_windows([win, win]))
+    assert sv.range.shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(sv.label[0]),
+                                  np.asarray(vs.label))
+
+
+def test_upsample_mesh_adaption(synthetic_dataset, small_spec, up_spec):
+    """The fold (mesh) path interpolates each source image too."""
+    cfg = _cfg(adaption="mesh", number_of_scans=2)
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    base = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True,
+                          upsample_interp=False)
+    eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    vb, _ = base.transfer(win)
+    vs, _ = eng.transfer(win)
+    m, mb = np.asarray(vs.mask), np.asarray(vb.mask)
+    assert m.mean() > 1.5 * mb.mean()
+    assert m.any(axis=1).all()
