@@ -1014,8 +1014,7 @@ class TransferEngine:
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
         if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat" and self.fixed_bounds
-                and not self._interp_active):
+                and self.synthesis == "splat" and self.fixed_bounds):
             outs = [self.transfer_fast(
                 jax.tree.map(lambda x, i=i: x[i], windows))
                 for i in range(windows.points.shape[0])]
@@ -1028,9 +1027,15 @@ class TransferEngine:
                 adaption=outs[0].adaption)
         fn = getattr(self, "_mm_jit_stream", None)
         if fn is None:
+            # the interp-active stream scans the classic image body
+            # (the z-buffer-ordered fast body cannot interpolate); the
+            # body choice is fixed per engine so one jit cache suffices
+            body = (self._mergemesh_core_fast if not self._interp_active
+                    else lambda w: self._mergemesh_core_deferred(w)[:5])
+
             def stream(ws):
                 def step(carry, w):
-                    out = self._mergemesh_core_fast(w)
+                    out = body(w)
                     return carry, out[:5]
                 _, outs = jax.lax.scan(step, 0, ws)
                 return outs
