@@ -470,6 +470,14 @@ def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
         emit(lambda a: a[:-1], lambda a: a[1:], m_v)
     if m_u:
         emit(lambda a: a, lambda a: jnp.roll(a, -1, axis=1), m_u)
+    if m_v and m_u:
+        # both axes upsampled: diagonal interior pixels of each 2x2
+        # source cell get neither a vertical nor a horizontal chord —
+        # emit candidates along the cell DIAGONAL (the cell's two
+        # triangles share it in any triangulation of the grid, so these
+        # lie on the mesh the reference would raycast)
+        emit(lambda a: a[:-1], lambda a: jnp.roll(a, -1, axis=1)[1:],
+             min(m_v, m_u))
     return tuple(jnp.concatenate([p[i] for p in parts])
                  for i in range(6))
 

@@ -195,3 +195,29 @@ def test_upsample_mesh_adaption(synthetic_dataset, small_spec, up_spec):
     m, mb = np.asarray(vs.mask), np.asarray(vb.mask)
     assert m.mean() > 1.5 * mb.mean()
     assert m.any(axis=1).all()
+
+
+def test_upsample_both_axes(synthetic_dataset, small_spec):
+    """2x density on BOTH axes: diagonal interior pixels need the cell-
+    diagonal chords; coverage must stay near the raymarcher's."""
+    both2 = SensorSpec(name="up2x2", beams=small_spec.beams * 2,
+                       fov_up=small_spec.fov_up,
+                       fov_down=small_spec.fov_down,
+                       angle_res_hor=small_spec.angle_res_hor / 2.0)
+    cfg = _cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, both2, cfg, CAP, fixed_bounds=True)
+    assert eng._interp_mv == 1 and eng._interp_mu == 1
+    ray = TransferEngine(small_spec, both2, cfg, CAP, fixed_bounds=True,
+                         synthesis="raymarch")
+    vs, _ = eng.transfer(win)
+    vr, _ = ray.transfer(win)
+    m, mr = np.asarray(vs.mask), np.asarray(vr.mask)
+    # interior-of-cell pixels (odd row AND odd col) must actually fill
+    interior = m[1::2, 1::2]
+    assert interior.mean() > 0.25
+    assert abs(m.mean() - mr.mean()) < 0.07
+    both = m & mr
+    agree = (np.asarray(vs.label)[both] == np.asarray(vr.label)[both])
+    assert agree.mean() > 0.9
