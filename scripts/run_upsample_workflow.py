@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Upsampling fake_on_real: train on 2x-upsampled fake data, eval on true.
+
+The paper's use case in the UPSAMPLING direction (the reference's mesh
+path supports denser targets the same way — its raycast interpolates
+triangle interiors): a user has labeled 32-beam data and wants a 64-beam
+segmentation model without labeling 64-beam scans.
+
+  A  "real" 32xW synthetic dataset (labeled)
+  B  TRUE 64xW synthetic dataset, same world+poses (held-out oracle)
+  F  fake 64xW dataset = chord-interpolated transfer of A (lt-transfer)
+
+Rows produced:
+  fake64_on_real64  train on F, evaluate on B   (the experiment)
+  real32_on_real64  train on A, evaluate on B   (no-transfer baseline:
+                    geometry mismatch — 32-beam images upsampled by the
+                    model's input grid only)
+
+Writes experiments_artifacts/workflow_upsample_r03/*.json.
+
+Usage: python scripts/run_upsample_workflow.py [--steps 300] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--work", default="/tmp/wf_upsample")
+    ap.add_argument("--out", default="experiments_artifacts/"
+                                     "workflow_upsample_r03")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from lidar_transfer_tpu.utils import setup_compile_cache
+    setup_compile_cache()
+
+    import yaml
+
+    from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+    from lidar_transfer_tpu.datasets import synthetic
+    from lidar_transfer_tpu.experiments.segmentation import (
+        evaluate_semantics, train_segmentation, write_predictions)
+    from lidar_transfer_tpu.experiments.workflows import (
+        generate_fake_dataset)
+
+    res_hor = 360.0 / args.width
+    spec32 = SensorSpec(name="syn32", beams=32, fov_up=5.0,
+                        fov_down=-24.0, angle_res_hor=res_hor)
+    spec64 = SensorSpec(name="syn64", beams=64, fov_up=5.0,
+                        fov_down=-24.0, angle_res_hor=res_hor)
+    scene = synthetic.Scene.default()
+
+    os.makedirs(args.work, exist_ok=True)
+    ds32 = os.path.join(args.work, "real32")
+    ds64 = os.path.join(args.work, "real64")
+    synthetic.write_kitti_dataset(ds32, scene, spec32,
+                                  n_scans=args.frames, step=1.0)
+    synthetic.write_kitti_dataset(ds64, scene, spec64,
+                                  n_scans=args.frames, step=1.0)
+    tgt_yaml = os.path.join(args.work, "target64.yaml")
+    with open(tgt_yaml, "w") as f:
+        yaml.safe_dump(spec64.to_dict(), f)
+
+    cfg = TransferConfig(
+        adaption="mergemesh", number_of_scans=1, voxel_size=0.1,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+
+    fake = generate_fake_dataset(ds32, os.path.join(args.work, "fake64"),
+                                 cfg, target_yaml=tgt_yaml)
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = {}
+    for name, train_ds in (("fake64_on_real64", fake),
+                           ("real32_on_real64", ds32)):
+        model, params, mapper, spec = train_segmentation(
+            train_ds, steps=args.steps, batch_size=args.batch_size,
+            cfg=cfg)
+        pred = os.path.join(args.work, f"pred_{name}")
+        write_predictions(ds64, pred, model, params, mapper, spec,
+                          cfg=cfg)
+        r = evaluate_semantics(ds64, pred, cfg=cfg)
+        r.update(kind=name, train_dataset=train_ds, eval_dataset=ds64,
+                 steps=args.steps)
+        rows[name] = r
+        with open(os.path.join(args.out, f"{name}.json"), "w") as f:
+            json.dump(r, f, indent=2)
+        print(f"{name}: miou_present {r['miou_present']:.4f} "
+              f"acc {r['acc']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
