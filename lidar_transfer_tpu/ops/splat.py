@@ -396,9 +396,11 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     return pos_c, t_c, tsdf_c, label_c, rem_c, found
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "m_v", "m_u"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "m_v", "m_u",
+                                             "voxel_size"))
 def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
-                       rem_flat, thresh, tan_min, *, H, W, m_v, m_u):
+                       rem_flat, vol_origin, active_f, thresh, tan_min,
+                       *, H, W, m_v, m_u, voxel_size):
     """Chord-interpolated candidates between adjacent source returns —
     the splat's equivalent of the reference's mesh interpolation.
 
@@ -430,9 +432,16 @@ def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
     and lerp remission (the reference means the 3 vertices,
     Triangle.h:63-70).
 
+    Every interpolated position is gated on lying INSIDE the active
+    volume (same round-to-voxel test as every other candidate source)
+    — the marched surface the reference interpolates only exists
+    within the fused volume, so chords between returns beyond clipped
+    bounds must not synthesize phantom returns there.
+
     Returns the standard candidate tuple (pos (N,3), depth (N,),
     tsdf (N,), label int32 (N,), rem (N,), valid (N,)) with static
-    N = m_v*(H-1)*W + m_u*H*W.
+    N = m_v*(H-1)*W + m_u*H*W + (min(m_v, m_u)*(H-1)*W if both axes
+    upsample — the cell-diagonal chords).
     """
     img_r = rng_flat.reshape(H, W)
     img_p = pts_flat.reshape(H, W, 3)
@@ -461,10 +470,17 @@ def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
         for j in range(1, m + 1):
             f = j / (m + 1)
             pos = (pa + f * (pb - pa)).reshape(-1, 3)
-            t = jnp.linalg.norm(pos, axis=-1)
-            parts.append((pos, t, jnp.zeros_like(t),
+            gi = jnp.round((pos - vol_origin[None, :]) /
+                           jnp.float32(voxel_size))
+            inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_f[0]) &
+                      (gi[:, 1] >= 0) & (gi[:, 1] < active_f[1]) &
+                      (gi[:, 2] >= 0) & (gi[:, 2] < active_f[2]))
+            z = jnp.zeros(pos.shape[:1], pos.dtype)
+            # depth slot (index 1) is unread by splat_synthesize; tsdf
+            # is 0 (candidates sit ON the surface)
+            parts.append((pos, z, z,
                           la if f <= 0.5 else lb,
-                          ea + f * (eb - ea), ok))
+                          ea + f * (eb - ea), ok & inside))
 
     if m_v:
         emit(lambda a: a[:-1], lambda a: a[1:], m_v)
@@ -564,9 +580,11 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         if m_v or m_u:
             parts.extend(
                 _interp_candidates(r, p, v, lf, rf,
+                                   vol_origin, active_f,
                                    jnp.float32(spec.trunc_margin),
                                    jnp.float32(tan_min),
-                                   H=iH, W=iW, m_v=m_v, m_u=m_u)
+                                   H=iH, W=iW, m_v=m_v, m_u=m_u,
+                                   voxel_size=float(spec.voxel_size))
                 for (r, p, v, lf, rf) in sources)
     pos = jnp.concatenate([a[0] for a in parts])
     tsdf_v = jnp.concatenate([a[2] for a in parts])

@@ -179,15 +179,21 @@ class TransferEngine:
 
         # upsampling-interpolation counts (see the upsample_interp field):
         # how many interior target rows/columns fall between adjacent
-        # source pixels. Vertical pitch compares the source image's row
-        # height (worst case over the two fov spans it is projected with
-        # — mergemesh uses target fov on source rows, mesh uses source
-        # fov) against the target's finest row pitch (min adjacent
-        # beam-angle gap when explicit beams are given).
+        # source pixels. Vertical pitch is the source IMAGE's actual row
+        # height — the span it is projected with depends on the
+        # adaption (mergemesh/catmesh project the merged cloud at
+        # TARGET fov over source.H rows, laserscan.py:929+952; mesh
+        # projects per-scan at source fov), and explicit source beam
+        # angles override the span entirely (row = nearest beam).
         if self.upsample_interp:
-            span_s = max(self.source.fov_up - self.source.fov_down,
-                         t.fov_up - t.fov_down)
-            src_pitch = span_s / self.source.H
+            if sba is not None and len(sba) > 1:
+                sd = np.degrees(np.sort(sba))
+                src_pitch = float(sd[-1] - sd[0]) / (len(sd) - 1)
+            else:
+                span_s = (self.source.fov_up - self.source.fov_down
+                          if self.cfg.adaption == "mesh"
+                          else t.fov_up - t.fov_down)
+                src_pitch = span_s / self.source.H
             if ba is not None and len(ba) > 1:
                 # MEAN gap, not min: non-uniform identity targets have
                 # min gap < span/H and would spuriously activate
@@ -1031,7 +1037,7 @@ class TransferEngine:
             # (the z-buffer-ordered fast body cannot interpolate); the
             # body choice is fixed per engine so one jit cache suffices
             body = (self._mergemesh_core_fast if not self._interp_active
-                    else lambda w: self._mergemesh_core_deferred(w)[:5])
+                    else self._mergemesh_core_deferred)
 
             def stream(ws):
                 def step(carry, w):

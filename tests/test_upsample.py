@@ -221,3 +221,46 @@ def test_upsample_both_axes(synthetic_dataset, small_spec):
     both = m & mr
     agree = (np.asarray(vs.label)[both] == np.asarray(vr.label)[both])
     assert agree.mean() > 0.9
+
+
+def test_interp_respects_volume_bounds(synthetic_dataset, small_spec,
+                                       up_spec):
+    """Interpolated candidates must pass the same inside-active-volume
+    gate as every other candidate source: chords between returns beyond
+    clipped bounds must not synthesize phantom returns there (the
+    marched surface the reference interpolates only exists inside the
+    fused volume)."""
+    cfg = _cfg(voxel_bounds=((-4.0, 4.0), (-4.0, 4.0), (-4.0, 4.0)),
+               voxel_size=0.25)
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
+    assert eng._interp_active
+    vs, _ = eng.transfer(win)
+    m = np.asarray(vs.mask)
+    ends = np.asarray(vs.points)[m]
+    origin = np.asarray(eng.vol_spec.origin)
+    dims = np.asarray(eng.vol_spec.dims)
+    gi = np.round((ends - origin) / cfg.voxel_size)
+    inside = ((gi >= 0) & (gi < dims)).all(axis=1)
+    assert inside.all(), (
+        f"{(~inside).sum()} synthesized returns outside the active "
+        f"volume (max range {np.linalg.norm(ends[~inside], axis=1).max():.2f})")
+
+
+def test_interp_gating_uses_projection_span(synthetic_dataset, small_spec):
+    """mergemesh projects the merged cloud at TARGET fov over source.H
+    rows (laserscan.py:929+952): a narrow-fov target with source-count
+    beams yields a source image ALREADY at target pitch — interp must
+    stay off (the max-of-spans gating falsely activated and forced the
+    slow classic body). The mesh adaption projects at SOURCE fov, where
+    the same pair genuinely upsamples."""
+    narrow = SensorSpec(name="narrow16", beams=small_spec.beams,
+                        fov_up=4.0, fov_down=-10.0,
+                        angle_res_hor=360.0 / 256.0)
+    mm = TransferEngine(small_spec, narrow, _cfg(), CAP, fixed_bounds=True)
+    assert mm._interp_mv == 0 and not mm._interp_active
+    mesh = TransferEngine(small_spec, narrow,
+                          _cfg(adaption="mesh", number_of_scans=2),
+                          CAP, fixed_bounds=True)
+    assert mesh._interp_mv == 1
