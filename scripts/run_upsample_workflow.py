@@ -15,6 +15,10 @@ Rows produced:
   real32_on_real64  train on A, evaluate on B   (no-transfer baseline:
                     geometry mismatch — 32-beam images upsampled by the
                     model's input grid only)
+  real64_on_fake64  train on B, evaluate on F   (realism check: a model
+                    trained on true 64-beam scans scoring high on the
+                    upsampled fakes means the chord-interpolated rows
+                    look like real interior beams to it)
 
 Writes experiments_artifacts/workflow_upsample_r03/*.json.
 
@@ -92,17 +96,19 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     rows = {}
-    for name, train_ds in (("fake64_on_real64", fake),
-                           ("real32_on_real64", ds32)):
+    for name, train_ds, eval_ds in (
+            ("fake64_on_real64", fake, ds64),
+            ("real32_on_real64", ds32, ds64),
+            ("real64_on_fake64", ds64, fake)):
         model, params, mapper, spec = train_segmentation(
             train_ds, steps=args.steps, batch_size=args.batch_size,
             cfg=cfg)
         pred = os.path.join(args.work, f"pred_{name}")
-        write_predictions(ds64, pred, model, params, mapper, spec,
+        write_predictions(eval_ds, pred, model, params, mapper, spec,
                           cfg=cfg)
-        r = evaluate_semantics(ds64, pred, cfg=cfg)
-        r.update(kind=name, train_dataset=train_ds, eval_dataset=ds64,
-                 steps=args.steps)
+        r = evaluate_semantics(eval_ds, pred, cfg=cfg)
+        r.update(kind=name, train_dataset=train_ds, eval_dataset=eval_ds,
+                 steps=args.steps, bounds=args.bounds)
         rows[name] = r
         with open(os.path.join(args.out, f"{name}.json"), "w") as f:
             json.dump(r, f, indent=2)
