@@ -266,6 +266,14 @@ def _warm_transfer_path(jnp, np):
     threading.Thread(target=xfer, daemon=True).start()
     attempt = 1
     while not done.wait(timeout=60.0):
+        # Unsupervised (--no-supervise / direct LT_BENCH_INNER) there is
+        # nobody to kill us at budget: give up when the deadline passes
+        # rather than spawning retry threads forever.
+        if remaining() <= 10.0:
+            log(f"transfer-path warmup gave up after "
+                f"{time.monotonic()-t0:.0f}s (budget exhausted) — timed "
+                "phases will include the first transfer's cost")
+            return
         attempt += 1
         log(f"warmup transfer still blocked after "
             f"{time.monotonic()-t0:.0f}s — dispatching retry {attempt}")
@@ -452,6 +460,13 @@ def measure(args):
             f"{s_sps:.2f} scans/s, "
             f"{s_sps*rays/1e6:.1f} Mrays/s synthesized")
         record(s_sps, note=f", stream {F}")
+        # last frame of the last batch, for the canary below: the
+        # stream scan body is a DIFFERENT compiled program than
+        # transfer_fast, and the remote compiler's lowering is
+        # per-program — the headline's own output must be checked
+        stream_last["vs"] = jax.tree.map(lambda x: x[-1], souts[-1])
+
+    stream_last = {}
 
     if args.stream > 0 and remaining() > 60:
         streamed_phase(args.stream)
@@ -472,19 +487,34 @@ def measure(args):
     # unlabeled points must drop or rescale this canary.
     # Recorded in the JSON (and echoed); never blocks the number.
     set_phase("hit-rate + label-fill check")
-    hitm = np.asarray(vs.mask)
-    log(f"hit rate {hitm.mean():.3f}")
-    result["hit_rate"] = round(float(hitm.mean()), 4)
+    checks = [("pipelined", vs)]
+    if "vs" in stream_last:
+        checks.append(("streamed", stream_last["vs"]))
     label_ok = True
-    if hitm.any():
-        lbl_fill = float((np.asarray(vs.label)[hitm] > 0).mean())
-        log(f"label fill over hit pixels: {lbl_fill:.4f}")
-        result["label_fill"] = round(lbl_fill, 4)
-        label_ok = lbl_fill > 0.999
-        if not label_ok:
+    for tag, out in checks:
+        hitm = np.asarray(out.mask)
+        hit = float(hitm.mean())
+        if tag == "pipelined":
+            log(f"hit rate {hit:.3f}")
+            result["hit_rate"] = round(hit, 4)
+        if not hitm.any():
+            # an all-miss output is the MOST broken case — never let it
+            # pass as a clean sample (pin_floor trusts these fields)
+            log(f"{tag} output has ZERO hits — marking degraded")
+            result["label_fill"] = 0.0
             result["degraded"] = True
-            result["note"] = ("labels lost on device (see splat.py "
-                              "subnormal note)")
+            result["note"] = f"{tag} transfer output has no hit pixels"
+            label_ok = False
+            continue
+        lbl_fill = float((np.asarray(out.label)[hitm] > 0).mean())
+        log(f"label fill over hit pixels ({tag}): {lbl_fill:.4f}")
+        result["label_fill"] = min(result.get("label_fill", 1.0),
+                                   round(lbl_fill, 4))
+        if lbl_fill <= 0.999:
+            result["degraded"] = True
+            result["note"] = (f"labels lost on device in the {tag} "
+                              "program (see splat.py subnormal note)")
+            label_ok = False
 
     # single-frame LATENCY: block after every frame (pays the tunnel's
     # per-dispatch round-trip in full — ~30 ms through the remote runtime

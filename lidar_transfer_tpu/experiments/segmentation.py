@@ -88,11 +88,14 @@ def _frame_tensors(seq, idx, spec, capacity, mapper, cfg):
 
     pts, rem, lbl = seq.read(idx)
     p, r, l, m = kitti.pad_points(pts, rem, lbl, capacity)
-    ri = P.range_project(jnp.asarray(p), jnp.asarray(r), jnp.asarray(l),
+    # one device_put per array: a second jnp.asarray(p) for the xyz
+    # gather would re-upload ~1.7 MB/frame through the ~42 MB/s tunnel
+    pj = jnp.asarray(p)
+    ri = P.range_project(pj, jnp.asarray(r), jnp.asarray(l),
                          jnp.asarray(m), H=spec.H, W=spec.W,
                          fov_up_deg=spec.fov_up, fov_down_deg=spec.fov_down)
     xyz = jnp.where(ri.mask[..., None],
-                    jnp.asarray(p)[jnp.maximum(ri.index, 0)], 0.0)
+                    pj[jnp.maximum(ri.index, 0)], 0.0)
     feats = range_image_features(ri.range, xyz, ri.remission, ri.mask)
     lut = jnp.asarray(mapper.raw_to_index)      # tiny (<=260 entries)
     lbl_idx = lut[jnp.clip(ri.label, 0, lut.shape[0] - 1)].astype(
@@ -104,7 +107,8 @@ def _frame_tensors(seq, idx, spec, capacity, mapper, cfg):
 
 
 def save_checkpoint(path: str, model, params, mapper, spec, *,
-                    opt_state=None, step: int | None = None) -> None:
+                    opt_state=None, step: int | None = None,
+                    sampling: dict | None = None) -> None:
     """Serialize a trained model bundle (readable by ``load_checkpoint``
     and the lt-seg infer CLI). ``opt_state``/``step``, when given, make
     the checkpoint resumable mid-training (train_segmentation
@@ -123,6 +127,8 @@ def save_checkpoint(path: str, model, params, mapper, spec, *,
     if opt_state is not None:
         blob["opt_state"] = jax.device_get(opt_state)
         blob["step"] = step
+        if sampling is not None:
+            blob["sampling"] = sampling
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(blob, f)
@@ -200,6 +206,18 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
             raise ValueError(
                 f"{checkpoint_path} was trained with a different model "
                 f"config ({blob['model_cfg']} != {model_cfg})")
+        # "exact sampling replay" is only exact when the rng stream is
+        # consumed identically: seed, batch_size, and the frame list
+        # must all match the killed run (a silent mismatch would resume
+        # on a divergent sample stream with no error)
+        want = {"seed": seed, "batch_size": batch_size,
+                "sequences": tuple(sequences), "dataset": dataset}
+        have = blob.get("sampling")
+        if have is not None and have != want:
+            raise ValueError(
+                f"{checkpoint_path} was trained with different sampling "
+                f"parameters ({have} != {want}) — resuming would replay "
+                "a divergent batch stream")
         params, opt_state = blob["params"], blob["opt_state"]
         start_step = int(blob["step"])
         if verbose:
@@ -221,6 +239,8 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
         def step_fn(params, opt_state, batch):
             return train_step(model, tx, params, opt_state, batch)
 
+    _sampling = {"seed": seed, "batch_size": batch_size,
+                 "sequences": tuple(sequences), "dataset": dataset}
     rng = np.random.default_rng(seed)
     all_frames = [(si, fi) for si, sq in enumerate(seqs)
                   for fi in range(len(sq))]
@@ -264,13 +284,15 @@ def train_segmentation(dataset: str, *, sequences=("00",), steps: int = 100,
             if (checkpoint_path and checkpoint_every
                     and (step + 1) % checkpoint_every == 0):
                 save_checkpoint(checkpoint_path, model, params, mapper,
-                                spec, opt_state=opt_state, step=step + 1)
+                                spec, opt_state=opt_state, step=step + 1,
+                                sampling=_sampling)
     if checkpoint_path:
         # final state, resumable: a finished run can be extended with a
         # larger ``steps`` + ``resume=True`` (the periodic saves above
         # may lag the last step when steps % checkpoint_every != 0)
         save_checkpoint(checkpoint_path, model, params, mapper, spec,
-                        opt_state=opt_state, step=max(steps, start_step))
+                        opt_state=opt_state, step=max(steps, start_step),
+                        sampling=_sampling)
     return model, params, mapper, spec
 
 
@@ -318,13 +340,14 @@ def write_predictions(dataset: str, out_root: str, model, params, mapper,
             pts, rem = kitti.read_scan_file(seq.scan_files[idx])
             p, r, l, m = kitti.pad_points(
                 pts, rem, np.zeros(pts.shape[0], np.int32), capacity)
-            ri = P.range_project(jnp.asarray(p), jnp.asarray(r),
+            pj = jnp.asarray(p)      # one upload (reused by the gather)
+            ri = P.range_project(pj, jnp.asarray(r),
                                  jnp.asarray(l), jnp.asarray(m),
                                  H=spec.H, W=spec.W,
                                  fov_up_deg=spec.fov_up,
                                  fov_down_deg=spec.fov_down)
             xyz = jnp.where(ri.mask[..., None],
-                            jnp.asarray(p)[jnp.maximum(ri.index, 0)], 0.0)
+                            pj[jnp.maximum(ri.index, 0)], 0.0)
             feats = range_image_features(ri.range, xyz, ri.remission,
                                          ri.mask)
             pred_img = infer(model, params, feats[None])[0]

@@ -59,11 +59,15 @@ class Prefetcher:
     def __next__(self):
         # after close() the queue may be fully drained (the STOP sentinel
         # included) with the worker gone — a blocking get() would hang
-        # the caller forever instead of ending the iteration
+        # the caller forever instead of ending the iteration. Same once
+        # the sentinel has been consumed: StopIteration must REPEAT on
+        # further next() calls (iterator protocol), not block on a queue
+        # nobody fills.
         if self._closed.is_set():
             raise StopIteration
         item = self._q.get()
         if item is self._STOP:
+            self._closed.set()
             raise StopIteration
         i, value, err = item
         if err is not None:

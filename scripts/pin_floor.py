@@ -13,7 +13,9 @@ lowering draws), recording each run's headline JSON. Output:
 min / median / max + all samples, written to the given JSON path.
 
 Usage: python scripts/pin_floor.py [-n 10] [-o floor_samples.json]
-       [--bench-arg --nscans --bench-arg 3]
+       [--bench-arg=--nscans --bench-arg=3]
+(note the ``=``: argparse rejects option-like values given as separate
+tokens for append options)
 """
 
 import argparse
@@ -52,12 +54,24 @@ def main():
         env["LT_BENCH_DEADLINE"] = str(args.deadline)  # remote recompile
         t0 = time.time()
         try:
-            out = subprocess.run(
+            # own session: on timeout the WHOLE process group dies —
+            # killing only the supervisor would orphan its inner measure
+            # child, which keeps dispatching TPU work and contends with
+            # (i.e. corrupts) every subsequent sample
+            proc = subprocess.Popen(
                 [sys.executable, os.path.join(repo, "bench.py"),
                  "--quick"] + args.bench_arg,
-                env=env, capture_output=True, text=True,
-                timeout=args.deadline + 30)
-            line = [ln for ln in out.stdout.splitlines()
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, start_new_session=True)
+            try:
+                stdout, _ = proc.communicate(timeout=args.deadline + 30)
+            except subprocess.TimeoutExpired:
+                import signal
+
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                raise
+            line = [ln for ln in stdout.splitlines()
                     if ln.startswith("{")]
             rec = json.loads(line[-1]) if line else {"value": None}
         except (subprocess.TimeoutExpired, ValueError) as e:
@@ -80,7 +94,9 @@ def main():
         "n_requested": args.n,
         "n_measured": len(vals),
         "min": vals[0] if vals else None,
-        "median": vals[len(vals) // 2] if vals else None,
+        "median": (round((vals[(len(vals) - 1) // 2]
+                          + vals[len(vals) // 2]) / 2, 2)
+                   if vals else None),
         "max": vals[-1] if vals else None,
         "all_sorted": vals,
         "bench_args": args.bench_arg,

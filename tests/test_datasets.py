@@ -117,6 +117,13 @@ def test_prefetcher_order_and_errors():
     assert next(it2)[0] == 0
     it2.close()
 
+    # StopIteration REPEATS after exhaustion (iterator protocol) — a
+    # further next() must not block on the empty queue forever
+    it3 = Prefetcher(lambda i: i, [0, 1], depth=2)
+    assert list(it3) == [(0, 0), (1, 1)]
+    assert next(it3, None) is None
+    assert next(it3, None) is None
+
 
 def test_ply_ascii_edge_rows(tmp_path):
     """Single-row and empty vertex/face blocks round-trip in BOTH ply

@@ -121,6 +121,19 @@ def test_train_resume_matches_straight_run(tmp_path, synthetic_dataset):
             synthetic_dataset, steps=4, checkpoint_path=legacy,
             resume=True, **kw)
 
+    # mismatched sampling parameters are rejected too: the replay would
+    # consume the rng stream differently and silently diverge
+    kw_big = dict(kw, batch_size=2)
+    with pytest.raises(ValueError, match="sampling"):
+        segmentation.train_segmentation(
+            synthetic_dataset, steps=4, checkpoint_path=ckpt,
+            resume=True, **kw_big)
+    kw_seed = dict(kw, seed=8)
+    with pytest.raises(ValueError, match="sampling"):
+        segmentation.train_segmentation(
+            synthetic_dataset, steps=4, checkpoint_path=ckpt,
+            resume=True, **kw_seed)
+
 
 def test_periodic_checkpoints_fire_mid_run(tmp_path, synthetic_dataset,
                                            monkeypatch):
@@ -134,10 +147,10 @@ def test_periodic_checkpoints_fire_mid_run(tmp_path, synthetic_dataset,
     real_save = segmentation.save_checkpoint
 
     def spy(path, model, params, mapper, spec, *, opt_state=None,
-            step=None):
+            step=None, **kw):
         saved_steps.append(step)
         real_save(path, model, params, mapper, spec,
-                  opt_state=opt_state, step=step)
+                  opt_state=opt_state, step=step, **kw)
 
     monkeypatch.setattr(segmentation, "save_checkpoint", spy)
     segmentation.train_segmentation(
