@@ -168,14 +168,22 @@ def loss_fn(model: RangeNet, params, batch):
     return loss, logits
 
 
-@functools.partial(jax.jit, static_argnames=("model", "tx"))
-def train_step(model: RangeNet, tx, params, opt_state, batch):
-    """One SGD step. jit-able and shardable (see parallel/sharding.py)."""
+def train_step_body(model: RangeNet, tx, params, opt_state, batch):
+    """The ONE training recipe (grad -> optax update). Both the jitted
+    single-host ``train_step`` and the mesh-sharded step
+    (parallel/sharding.sharded_train_step) wrap exactly this function —
+    a change here (loss weighting, grad clipping, ...) reaches both."""
     (loss, _), grads = jax.value_and_grad(
         lambda p: loss_fn(model, p, batch), has_aux=True)(params)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model: RangeNet, tx, params, opt_state, batch):
+    """One SGD step. jit-able and shardable (see parallel/sharding.py)."""
+    return train_step_body(model, tx, params, opt_state, batch)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))

@@ -45,9 +45,21 @@ def initialize(coordinator_address: str, num_processes: int,
     if cpu_devices_per_process is not None:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        # AUTHORITATIVE count: an inherited XLA_FLAGS that already
+        # carries xla_force_host_platform_device_count (e.g. the test
+        # conftest's 8) would otherwise win silently and double every
+        # process's share of the global mesh
+        jax.config.update("jax_num_cpu_devices", cpu_devices_per_process)
     jax.distributed.initialize(coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    if cpu_devices_per_process is not None:
+        local = jax.local_devices()
+        if len(local) != cpu_devices_per_process:
+            raise RuntimeError(
+                f"requested {cpu_devices_per_process} CPU devices per "
+                f"process but this process has {len(local)} — check "
+                "XLA_FLAGS / backend-initialization order")
     return jax
 
 

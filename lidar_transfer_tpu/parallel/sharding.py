@@ -45,6 +45,14 @@ def make_mesh(n_devices: int | None = None,
             # the cpu backend when the default backend is a single chip
             devices = jax.devices("cpu")
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # a silently smaller mesh would let "validated N-way
+            # scale-out" runs execute effectively unsharded
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices exist (set "
+                "xla_force_host_platform_device_count for virtual CPU "
+                "meshes)")
         devices = devices[:n_devices]
     n = len(devices)
     if model is None:
@@ -82,15 +90,10 @@ def sharded_train_step(model, tx, mesh: Mesh):
         weights=NamedSharding(mesh, P("data")),
     )
 
-    from lidar_transfer_tpu.models.rangenet import loss_fn
-    import optax
+    from lidar_transfer_tpu.models.rangenet import train_step_body
 
     def step(params, opt_state, batch):
-        (loss, _), grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch), has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return train_step_body(model, tx, params, opt_state, batch)
 
     return jax.jit(step, in_shardings=(None, None, batch_sharding))
 
@@ -111,8 +114,14 @@ def sharded_confusion(mesh: Mesh, n_classes: int):
 
 
 def shard_volume(state: TSDFState, mesh: Mesh) -> TSDFState:
-    """Place the volume's X axis across the data axis of the mesh."""
-    sh = NamedSharding(mesh, P("data", None, None))
+    """Place the volume's X axis across ALL devices of the mesh.
+
+    Sharding over ("data", "model") jointly: leaving the model axis
+    unmentioned would REPLICATE every slab across it — on the default
+    model=2 mesh that doubles per-chip HBM (2.15 GB vs 1.07 GB at the
+    reference-scale 8.6 GB volume), halving the max volume this
+    scale-out path exists to enable."""
+    sh = NamedSharding(mesh, P(("data", "model"), None, None))
     return TSDFState(*(jax.device_put(a, sh) for a in state))
 
 
@@ -128,7 +137,11 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
     """
     from jax import shard_map
 
-    n_shards = mesh.shape["data"]
+    # X is sharded over BOTH mesh axes (row-major device rank), matching
+    # shard_volume — data-axis-only sharding would replicate slabs
+    # across "model" and halve the achievable volume size per chip
+    n_model = mesh.shape["model"]
+    n_shards = mesh.shape["data"] * n_model
     X = spec.dims[0]
     if X % n_shards:
         raise ValueError(f"volume X dim {X} not divisible by {n_shards}")
@@ -137,7 +150,8 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
                            dims=(slab,) + spec.dims[1:])
 
     def local(st: TSDFState, d, l, r):
-        shard_idx = jax.lax.axis_index("data")
+        shard_idx = (jax.lax.axis_index("data") * n_model
+                     + jax.lax.axis_index("model"))
         origin = jnp.asarray(spec.origin, jnp.float32)
         origin = origin.at[0].add(
             shard_idx.astype(jnp.float32) * slab * spec.voxel_size)
@@ -145,13 +159,14 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
                          fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
                          obs_weight=obs_weight, origin=origin)
 
+    vol_spec_x = P(("data", "model"), None, None)
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(TSDFState(P("data", None, None), P("data", None, None),
-                            P("data", None, None), P("data", None, None)),
+        in_specs=(TSDFState(vol_spec_x, vol_spec_x, vol_spec_x,
+                            vol_spec_x),
                   P(), P(), P()),
-        out_specs=TSDFState(P("data", None, None), P("data", None, None),
-                            P("data", None, None), P("data", None, None)))
+        out_specs=TSDFState(vol_spec_x, vol_spec_x, vol_spec_x,
+                            vol_spec_x))
     return fn(state, depth_im, label_im.astype(jnp.int32), rem_im)
 
 
@@ -201,6 +216,12 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
     # others keep the materialized body
     adaption = engine.cfg.adaption
     use_fast = engine.synthesis == "splat"
+    # the z-buffer-ordered fast body cannot interpolate (upsampling
+    # targets): take the equally volume-free classic deferred body, as
+    # transfer_fast/transfer_stream do — NOT the fast body (silently
+    # sparse rows) and NOT the materialized body (a volume per frame)
+    interp_deferred = (use_fast and adaption == "mergemesh"
+                       and engine._interp_active)
     mesh_fold = (adaption == "mesh" and use_fast
                  and engine.mesh_attrs == "fold")
     if adaption not in ("mergemesh", "mesh"):
@@ -220,6 +241,8 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
         if mesh_fold:
             (rng, lbl, rem, ends, mask), _ = engine._mesh_fast_body(w)
             return rng, lbl, rem, ends, mask
+        if interp_deferred:
+            return engine._mergemesh_core_deferred(w)[:5]
         if use_fast:
             rng, lbl, rem, ends, mask, _ = engine._mergemesh_core_fast(w)
             return rng, lbl, rem, ends, mask

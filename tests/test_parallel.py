@@ -149,3 +149,46 @@ def test_frame_parallel_mesh_fold(synthetic_dataset, small_spec):
                            fixed_bounds=True, mesh_attrs="volume")
     with _pytest.raises(ValueError, match="fold body"):
         frame_parallel_transfer(eng_v, stack_windows(wins))
+
+
+def test_frame_parallel_upsampling_keeps_interp(synthetic_dataset,
+                                                small_spec):
+    """An upsampling (interp-active) engine routed through
+    frame_parallel_transfer must take the classic deferred body —
+    the z-buffer-ordered fast body would silently drop the chord
+    candidates and leave interleaved rows empty."""
+    import numpy as np
+
+    from lidar_transfer_tpu.config import SensorSpec, TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.parallel.sharding import (
+        frame_parallel_transfer, stack_windows)
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    up = SensorSpec(name="up2", beams=small_spec.beams * 2,
+                    fov_up=small_spec.fov_up,
+                    fov_down=small_spec.fov_down,
+                    angle_res_hor=small_spec.angle_res_hor)
+    cfg = TransferConfig(
+        adaption="mergemesh", number_of_scans=1, voxel_size=0.25,
+        voxel_bounds=((-16.0, 16.0), (-16.0, 16.0), (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    eng = TransferEngine(small_spec, up, cfg, 8192, fixed_bounds=True)
+    assert eng._interp_active
+
+    wins = [load_window(seq, cfg, i, 8192) for i in
+            [0, 1, 2, 3, 4, 0, 1, 2]]
+    rng_b, lbl_b, rem_b, ends_b, mask_b = frame_parallel_transfer(
+        eng, stack_windows(wins))
+
+    # markedly more coverage than the interp-less engine (the fast body
+    # would silently produce the sparse variant) and parity with the
+    # sequential classic path
+    m0 = np.asarray(mask_b[0])
+    base = TransferEngine(small_spec, up, cfg, 8192, fixed_bounds=True,
+                          upsample_interp=False)
+    vb = base.transfer_fast(wins[0])
+    assert m0.mean() > 1.5 * np.asarray(vb.mask).mean()
+    vs, _ = eng.transfer(wins[0])
+    mv = np.asarray(vs.mask)
+    assert (m0 == mv).mean() > 0.98
