@@ -148,7 +148,8 @@ def _band_samples_image(label_flat, rem_flat, rng_flat, pts_flat,
     pixel order instead of sample-k order (analytic synthetic scenes do
     produce exact ties; real LiDAR effectively never).
     """
-    X, Y, Z = dims
+    del dims      # clip uses active_dims only (kept for signature parity
+    #               with _band_samples, whose full-dims clip needs it)
     K = samples_per_ray
     vox = jnp.float32(voxel_size)
     # single source of truth: VolumeSpec.trunc_margin (5 voxels,
@@ -397,10 +398,10 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "m_v", "m_u",
-                                             "voxel_size"))
+                                             "voxel_size", "v_span"))
 def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
                        rem_flat, vol_origin, active_f, thresh, tan_min,
-                       *, H, W, m_v, m_u, voxel_size):
+                       *, H, W, m_v, m_u, voxel_size, v_span=1):
     """Chord-interpolated candidates between adjacent source returns —
     the splat's equivalent of the reference's mesh interpolation.
 
@@ -438,10 +439,16 @@ def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
     within the fused volume, so chords between returns beyond clipped
     bounds must not synthesize phantom returns there.
 
+    ``v_span`` > 1 additionally emits vertical chords between rows
+    2..v_span apart with ((m_v+1)*d - 1) interior samples each: a
+    snapped source beam table (projection row = linear map of the
+    SNAPPED angle) can leave empty interleaved rows, where strictly
+    adjacent-row chords never find two valid endpoints.
+
     Returns the standard candidate tuple (pos (N,3), depth (N,),
     tsdf (N,), label int32 (N,), rem (N,), valid (N,)) with static
-    N = m_v*(H-1)*W + m_u*H*W + (min(m_v, m_u)*(H-1)*W if both axes
-    upsample — the cell-diagonal chords).
+    N = sum_d ((m_v+1)d-1)*(H-d)*W + m_u*H*W + (min(m_v, m_u)*(H-1)*W
+    if both axes upsample — the cell-diagonal chords).
     """
     img_r = rng_flat.reshape(H, W)
     img_p = pts_flat.reshape(H, W, 3)
@@ -483,7 +490,13 @@ def _interp_candidates(rng_flat, pts_flat, valid_flat, label_flat,
                           ea + f * (eb - ea), ok & inside))
 
     if m_v:
-        emit(lambda a: a[:-1], lambda a: a[1:], m_v)
+        # v_span > 1: a snapped beam table leaves empty interleaved rows
+        # — chords must also bridge rows d apart (both endpoints valid
+        # only at actually occupied rows), with enough interior samples
+        # to cover the proportionally larger target-row gap
+        for d in range(1, v_span + 1):
+            emit(lambda a, d=d: a[:-d], lambda a, d=d: a[d:],
+                 (m_v + 1) * d - 1)
     if m_u:
         emit(lambda a: a, lambda a: jnp.roll(a, -1, axis=1), m_u)
     if m_v and m_u:
@@ -545,6 +558,11 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
     active_f = jnp.asarray(active_dims, jnp.float32)
     if attrs == "auto":
         attrs = "image" if len(sources) == 1 else "volume"
+    if attrs not in ("image", "fold", "volume"):
+        raise ValueError(
+            f"unknown attrs {attrs!r} (expected 'auto', 'image', 'fold' "
+            "or 'volume') — a typo here would silently change band "
+            "semantics")
 
     if attrs == "image":
         parts = [
@@ -576,7 +594,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
             for (r, p, v, _, _) in sources
         ]
     if interp is not None:
-        iH, iW, m_v, m_u, tan_min = interp
+        iH, iW, m_v, m_u, tan_min, *rest = interp
+        v_span = rest[0] if rest else 1
         if m_v or m_u:
             parts.extend(
                 _interp_candidates(r, p, v, lf, rf,
@@ -584,7 +603,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                                    jnp.float32(spec.trunc_margin),
                                    jnp.float32(tan_min),
                                    H=iH, W=iW, m_v=m_v, m_u=m_u,
-                                   voxel_size=float(spec.voxel_size))
+                                   voxel_size=float(spec.voxel_size),
+                                   v_span=v_span)
                 for (r, p, v, lf, rf) in sources)
     pos = jnp.concatenate([a[0] for a in parts])
     tsdf_v = jnp.concatenate([a[2] for a in parts])

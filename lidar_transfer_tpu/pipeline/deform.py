@@ -144,6 +144,12 @@ class TransferEngine:
     interp_angle_deg: float = 3.0
 
     def __post_init__(self):
+        if self.mesh_attrs not in ("fold", "volume"):
+            # a typo (e.g. 'Fold') would silently disable the deferral
+            # AND fall into volume-probe band semantics downstream
+            raise ValueError(
+                f"mesh_attrs must be 'fold' or 'volume': "
+                f"{self.mesh_attrs!r}")
         t = self.target
         # SensorSpec.beam_angles are already radians (config.py)
         ba = (np.asarray(t.beam_angles)
@@ -163,12 +169,10 @@ class TransferEngine:
         # integrate is eligible (its in-place aliasing needs a 128-multiple
         # minor dim — tiled layouts with padded minors can't alias the
         # kernel's dense buffers).
-        import jax as _jax
-
         vb = self.cfg.voxel_bounds_array
         full_dims = np.ceil((vb[:, 1] - vb[:, 0]) /
                             self.cfg.voxel_size).astype(int)
-        self._tpu = _jax.default_backend() == "tpu"
+        self._tpu = jax.default_backend() == "tpu"
         zmult = 128 if (self._tpu and
                         self.use_pallas_integrate is not False) else 16
         self.vol_dims = bucket_dims(full_dims, multiple=(64, 64, zmult))
@@ -212,6 +216,23 @@ class TransferEngine:
         else:
             self._interp_mv = 0
             self._interp_mu = 0
+        # Vertical chord SPAN: with an explicit source beam table the
+        # projection SNAPS pitch to beams and maps the snapped angle
+        # linearly to rows — consecutive beams can land >1 row apart
+        # (empty interleaved rows), and chords between strictly adjacent
+        # rows would never find two valid endpoints there. Compute the
+        # occupied rows statically and bridge up to the max gap.
+        self._interp_vspan = 1
+        if self._interp_mv > 0 and sba is not None and len(sba) > 1:
+            fu, fd = ((self.source.fov_up, self.source.fov_down)
+                      if self.cfg.adaption == "mesh"
+                      else (t.fov_up, t.fov_down))
+            fov = abs(np.radians(fu)) + abs(np.radians(fd))
+            v = 1.0 - (np.sort(sba) + abs(np.radians(fd))) / fov
+            occ = np.unique(np.clip(np.floor(v * self.source.H), 0,
+                                    self.source.H - 1).astype(int))
+            if len(occ) > 1:
+                self._interp_vspan = int(min(4, np.diff(occ).max()))
 
     @property
     def _interp_active(self) -> bool:
@@ -291,8 +312,9 @@ class TransferEngine:
         big = 1e9
         lo = jnp.where(valid[:, None], pts, big).min(axis=0)
         hi = jnp.where(valid[:, None], pts, -big).max(axis=0)
-        cloud = np.stack([np.rint(np.asarray(lo)),
-                          np.rint(np.asarray(hi))], axis=1)
+        # ONE batched device->host fetch (each read pays the full ~30 ms
+        # tunnel round trip even when ready — CLAUDE.md)
+        cloud = np.rint(np.asarray(jnp.stack([lo, hi], axis=1)))
         cfgb = self.cfg.voxel_bounds_array.astype(np.float64)
         clip = cfgb.copy()
         clip[:, 0] = np.maximum(cfgb[:, 0], cloud[:, 0])
@@ -397,7 +419,8 @@ class TransferEngine:
             if self._interp_active:
                 sH, sW = sources[0][0].range.shape
                 interp = (sH, sW, self._interp_mv, self._interp_mu,
-                          float(np.tan(np.radians(self.interp_angle_deg))))
+                          float(np.tan(np.radians(self.interp_angle_deg))),
+                          self._interp_vspan)
             rng, lbl, rem, ends, mask = splat_synthesize(
                 state, self.vol_spec, srcs,
                 target_H=self.target.H, target_W=self.target.W,
@@ -533,7 +556,10 @@ class TransferEngine:
         p = rows[:, 0:3]
         c_rem = rows[:, 3]
         c_lbl = jnp.rint(rows[:, 4]).astype(jnp.int32)
-        valid_c = is_first & (c_lbl > 0)
+        # winners only — NO label filter: label-0 (unlabeled) surfaces
+        # stay opaque, matching the static fast body (is_first
+        # unfiltered) and the raymarcher rolling fallback
+        valid_c = is_first
         # the volume cast only ever hits content inside the configured
         # box — match that (config bounds; the per-frame clipped box of
         # non-fixed engines is a subset, documented deviation)
@@ -592,6 +618,16 @@ class TransferEngine:
         (general but ~1.5 s/frame at reference scale).
         """
         w = getattr(self, "_pending_window", None)
+        nstream = getattr(self, "_stream_stash", None)
+        if w is not None and nstream is not None:
+            import warnings
+
+            warnings.warn(
+                f"resynthesize_rolling_shutter after transfer_stream "
+                f"refers to the LAST of the {nstream} streamed frames "
+                "(the stream stashes only that frame for lazy "
+                "consumers); call transfer_fast(frame) first if you "
+                "need another frame", stacklevel=2)
         if w is not None and self.synthesis == "splat":
             t_frac = np.linspace(0.0, 1.0, self.target.W, endpoint=False)
             from lidar_transfer_tpu.ops.transforms import interpolate_pose

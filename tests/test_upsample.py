@@ -264,3 +264,45 @@ def test_interp_gating_uses_projection_span(synthetic_dataset, small_spec):
                           _cfg(adaption="mesh", number_of_scans=2),
                           CAP, fixed_bounds=True)
     assert mesh._interp_mv == 1
+
+
+def test_interp_bridges_snapped_beam_gaps(synthetic_dataset, small_spec):
+    """A non-uniform source beam table whose snapped rows leave empty
+    interleaved rows: vertical chords must bridge up to the max
+    occupied-row gap (engine _interp_vspan), not just adjacent rows —
+    adjacent-row chords never find two valid endpoints across an empty
+    row."""
+    import dataclasses
+
+    # 16 beams over the fov with a doubled gap in the middle: rows
+    # under the target-fov projection leave >=1 empty row between the
+    # two halves
+    span = small_spec.fov_up - small_spec.fov_down
+    lo = np.linspace(small_spec.fov_down, small_spec.fov_down + 0.36 * span, 8)
+    hi = np.linspace(small_spec.fov_up - 0.36 * span, small_spec.fov_up, 8)
+    ba = np.radians(np.concatenate([lo, hi])).tolist()
+    src = dataclasses.replace(small_spec, beam_angles=ba)
+    up = SensorSpec(name="up32g", beams=small_spec.beams * 2,
+                    fov_up=small_spec.fov_up,
+                    fov_down=small_spec.fov_down,
+                    angle_res_hor=small_spec.angle_res_hor)
+    cfg = _cfg()
+    eng = TransferEngine(src, up, cfg, CAP, fixed_bounds=True)
+    assert eng._interp_active
+    assert eng._interp_vspan > 1
+
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    vs, _ = eng.transfer(win)
+    m = np.asarray(vs.mask)
+
+    # the same engine restricted to adjacent-row chords leaves the
+    # mid-fov band empty; the span-aware one must cover more
+    eng1 = TransferEngine(src, up, cfg, CAP, fixed_bounds=True)
+    eng1._interp_vspan = 1
+    v1, _ = eng1.transfer(win)
+    m1 = np.asarray(v1.mask)
+    assert m.sum() > m1.sum()
+    # rows covered only via the bridged chords exist
+    gained = m.any(axis=1) & ~m1.any(axis=1)
+    assert gained.any()
