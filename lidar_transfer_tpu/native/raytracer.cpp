@@ -210,12 +210,11 @@ Hit trace_one(const Bvh& bvh, Vec3 o, Vec3 d) {
       const float tr = aabb_hit(bvh.nodes[n.start].box, o, rinv, best.t);
       int32_t first = n.left, second = n.start;
       if (tr < tl) std::swap(first, second);
-      if (sp + 2 <= 64) {
-        stack[sp++] = second;
-        stack[sp++] = first;
-      } else {  // depth guard (median split keeps depth ~log2 n)
-        stack[sp - 1] = first;
-      }
+      // depth guard (median split keeps depth ~log2 n, so overflow is
+      // astronomically unlikely): push what fits, nearer child last so
+      // it pops first; never clobber pending entries
+      if (sp + 1 < 64) stack[sp++] = second;
+      if (sp < 64) stack[sp++] = first;
     }
   }
   return best;

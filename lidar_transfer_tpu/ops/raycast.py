@@ -397,7 +397,7 @@ def _raycast_impl(tsdf, label, rem, occ, rays, origin, vorigin,
 def raycast_tsdf(state: TSDFState, spec: VolumeSpec, rays: jax.Array,
                  origin: jax.Array, H: int, W: int, *,
                  occ: jax.Array | None = None, block: int = 4,
-                 fine_step: float = 0.5, max_steps: int = 4096,
+                 fine_step: float = 0.5, max_steps: int | None = None,
                  vol_origin=None) -> RaycastResult:
     """March target-sensor rays through the fused TSDF volume.
 
@@ -414,6 +414,13 @@ def raycast_tsdf(state: TSDFState, spec: VolumeSpec, rays: jax.Array,
       block:  coarse block edge in voxels (empty-space skip distance)
       fine_step: fine step in voxels (0.5 = half-voxel sampling)
     """
+    if max_steps is None:
+        # enough fine steps to cross the volume diagonal even for a
+        # grazing ray marching entirely inside the occupancy halo — a
+        # fixed 4096 silently truncated the march (reported as a miss)
+        # on reference-scale volumes at sub-voxel fine steps
+        diag = float(np.linalg.norm(spec.dims))
+        max_steps = int(np.ceil(diag / max(fine_step, 1e-3))) + 64
     if occ is None:
         occ = occupancy_grid(state.tsdf, block=block)
     origin = jnp.asarray(origin, jnp.float32)

@@ -128,23 +128,6 @@ class VolumeSpec:
                                rem_dtype=jnp.bfloat16)
 
 
-def clip_bounds_to_cloud(config_bounds: np.ndarray, points: np.ndarray,
-                         valid: np.ndarray) -> np.ndarray:
-    """Shrink config bounds to the (rounded) point-cloud bounding box.
-
-    ≡ laserscan.py:957-962: merged bounds rounded with rint, then
-    max(lower)/min(upper) against config bounds. Host-side (dims must be
-    static before jit).
-    """
-    pts = points[valid]
-    cloud = np.stack([np.rint(pts.min(axis=0)), np.rint(pts.max(axis=0))],
-                     axis=1)
-    out = np.asarray(config_bounds, np.float64).reshape(3, 2).copy()
-    out[:, 0] = np.maximum(out[:, 0], cloud[:, 0])
-    out[:, 1] = np.minimum(out[:, 1], cloud[:, 1])
-    return out
-
-
 def _integrate_block(state_block: TSDFState, depth_im, label_im, rem_im,
                      fov_up_deg, fov_down_deg, obs_weight,
                      origin, active_dims, x_offset, dims, voxel_size,
