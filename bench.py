@@ -346,12 +346,18 @@ def measure(args):
     result = {"metric": metric_name + ")", "value": 0.0,
               "unit": "scans/sec", "vs_baseline": 0.0}
 
+    def emit_partial():
+        # the supervisor keeps the LAST partial: re-emit after every field
+        # update so a reconstructed JSON (child killed mid-phase) carries
+        # hit_rate / label_fill / sync_latency_ms, not just the number
+        print("RESULT " + json.dumps(result), flush=True)
+
     def record(sps, note=""):
         if sps > result["value"]:
             result["value"] = round(sps, 2)
             result["vs_baseline"] = round(sps / 50.0, 3)
             result["metric"] = metric_name + note + ")"
-        print("RESULT " + json.dumps(result), flush=True)
+        emit_partial()
 
     set_phase("build inputs")
     # synthetic scans at slightly different poses (static shapes: capacity
