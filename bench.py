@@ -155,8 +155,14 @@ class _Child:
         self._t_out.join(timeout=5)
         self._t_err.join(timeout=5)
         if self.proc.returncode not in (0, None):
-            log(f"supervisor: {self.tag} child exited "
-                f"rc={self.proc.returncode}")
+            if self.final is not None:
+                # the supervisor kills every child once the final JSON is
+                # in hand (teardown-hang insurance) — not a failure
+                log(f"supervisor: {self.tag} child killed post-result "
+                    f"(expected; rc={self.proc.returncode})")
+            else:
+                log(f"supervisor: {self.tag} child exited "
+                    f"rc={self.proc.returncode}")
 
 
 def supervise(args):
@@ -521,6 +527,7 @@ def measure(args):
             result["note"] = (f"labels lost on device in the {tag} "
                               "program (see splat.py subnormal note)")
             label_ok = False
+    emit_partial()   # partials must carry the corruption canary fields
 
     # single-frame LATENCY: block after every frame (pays the tunnel's
     # per-dispatch round-trip in full — ~30 ms through the remote runtime
@@ -535,6 +542,7 @@ def measure(args):
         lat_ms = (time.perf_counter() - t0) / nlat * 1e3
         log(f"latency (sync per frame): {lat_ms:.1f} ms/frame")
         result["sync_latency_ms"] = round(lat_ms, 1)
+        emit_partial()
 
     # per-cause miss accounting (untimed; VERDICT r1 weak #5): every
     # no-data pixel attributed to out-of-source-FOV / empty direction /
@@ -584,6 +592,7 @@ def measure(args):
             f"({len(ris)*np.prod(eng.vol_dims)/f_dt/1e9:.2f} Gvoxel/s, "
             f"{f_dt*1e3:.1f} ms per fused {len(ris)}-scan chain)")
         result["fusion_chains_per_sec"] = round(1.0 / f_dt, 2)
+        emit_partial()
     elif args.fusion and not args.quick and remaining() > 60:
         # fusion FPS ≡ the reference's printed field (laserscan.py:971-977)
         # — the class-aware integrate at full volume scale (materialized;
@@ -618,6 +627,7 @@ def measure(args):
             f"({np.prod(eng.vol_dims)/f_dt/1e9:.2f} Gvoxel/s, "
             f"{f_dt*1e3:.1f} ms per full-volume class-aware integrate)")
         result["fusion_integrates_per_sec"] = round(1.0 / f_dt, 2)
+        emit_partial()
     elif args.fusion:
         log("skipping fusion phase (budget/--quick)")
 

@@ -148,22 +148,34 @@ def test_stream_matches_fast(synthetic_dataset, small_spec):
                                    np.asarray(s.range), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(sv.label[i]),
                                       np.asarray(s.label))
-    # fused_state afterwards refers to the last frame — and WARNS about
-    # it (library callers get no CLI guard; VERDICT r2 weak #7)
-    with pytest.warns(UserWarning, match="LAST of the 3 streamed"):
-        st_stream = eng2.fused_state()
+    # lazy consumers after a stream are FRAME-INDEXED (VERDICT r3 #6):
+    # omitting frame= is an explicit error, not a silent last-frame pick
+    with pytest.raises(ValueError, match="frame=i"):
+        eng2.fused_state()
+    st_stream = eng2.fused_state(frame=-1)
     eng3 = TransferEngine(small_spec, small_spec, cfg, CAP,
                           fixed_bounds=True)
     eng3.transfer_fast(wins[-1])
     st_single = eng3.fused_state()
     np.testing.assert_array_equal(np.asarray(st_stream.tsdf),
                                   np.asarray(st_single.tsdf))
-    # a single-frame transfer clears the marker: no warning
+    # a NON-last frame must materialize that frame's volume exactly
+    st_mid = eng2.fused_state(frame=1)
+    eng4 = TransferEngine(small_spec, small_spec, cfg, CAP,
+                          fixed_bounds=True)
+    eng4.transfer_fast(wins[1])
+    np.testing.assert_array_equal(np.asarray(st_mid.tsdf),
+                                  np.asarray(eng4.fused_state().tsdf))
+    assert not np.array_equal(np.asarray(st_mid.tsdf),
+                              np.asarray(st_single.tsdf))
+    with pytest.raises(IndexError):
+        eng2.fused_state(frame=3)
+    # a single-frame transfer clears the stream: frame-less works again,
+    # frame= indexing is rejected
     eng2.transfer_fast(wins[0])
-    import warnings as _w
-    with _w.catch_warnings():
-        _w.simplefilter("error")
-        eng2.fused_state()
+    eng2.fused_state()
+    with pytest.raises(ValueError, match="preceding transfer_stream"):
+        eng2.fused_state(frame=0)
 
 
 def test_project_winners_matches_range_project(synthetic_dataset,
@@ -216,11 +228,13 @@ def test_mesh_stream_matches_single(synthetic_dataset, small_spec):
                                    np.asarray(s.range), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(sv.label[i]),
                                       np.asarray(s.label))
-    # lazy volume after the stream = last frame's chain (with a warning)
+    # lazy volume after the stream is frame-indexed; pick a NON-last
+    # frame and check it materializes that frame's per-scan chain
     import pytest as _pytest
-    with _pytest.warns(UserWarning, match="LAST of the 3"):
-        st = eng2.fused_state()
-    eng.transfer(wins[-1])
+    with _pytest.raises(ValueError, match="frame=i"):
+        eng2.fused_state()
+    st = eng2.fused_state(frame=0)
+    eng.transfer(wins[0])
     np.testing.assert_allclose(np.asarray(st.tsdf),
                                np.asarray(eng.fused_state().tsdf),
                                atol=1e-6)

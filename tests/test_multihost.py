@@ -22,7 +22,14 @@ def _free_port():
     return port
 
 
-def test_two_process_dryrun(synthetic_dataset, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("n_proc,devs_per", [(2, 4), (4, 2)])
+def test_multi_process_dryrun(synthetic_dataset, tmp_path, n_proc,
+                              devs_per):
+    """N OS processes join one jax.distributed job (gloo), each loading
+    only its own frame shard; 2x4 and 4x2 both span 8 global devices."""
     port = _free_port()
     out = str(tmp_path / "mh0.npz")
     env = {k: v for k, v in os.environ.items()
@@ -33,14 +40,14 @@ def test_two_process_dryrun(synthetic_dataset, tmp_path):
         return subprocess.Popen(
             [sys.executable, "-m", "lidar_transfer_tpu.parallel.multihost",
              "--coordinator", f"localhost:{port}",
-             "--num-processes", "2", "--process-id", str(pid),
-             "--devices-per-process", "4",
+             "--num-processes", str(n_proc), "--process-id", str(pid),
+             "--devices-per-process", str(devs_per),
              "--dataset", synthetic_dataset, "--out", out],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))))
 
-    procs = [launch(0), launch(1)]
+    procs = [launch(i) for i in range(n_proc)]
     logs = []
     for p in procs:
         try:

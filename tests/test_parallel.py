@@ -69,6 +69,28 @@ def test_graft_dryrun():
     dryrun_multichip(8)
 
 
+def test_graft_dryrun_16_devices():
+    """PARITY.md claims dryrun validation at 8 AND 16 virtual devices;
+    the in-process suite is pinned to 8 by conftest, so the 16-device
+    run needs a fresh interpreter (device count is fixed at backend
+    init)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from __graft_entry__ import dryrun_multichip; "
+         "dryrun_multichip(16)" % repo],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip OK on 16 devices" in proc.stdout
+
+
 def test_frame_parallel_transfer(synthetic_dataset, small_spec):
     """8 frames sharded one-per-device: results match the sequential
     engine frame-for-frame."""

@@ -222,6 +222,44 @@ def test_rolling_splat_identity_matches_static(synthetic_dataset,
                                   np.asarray(vs_static.label)[both])
 
 
+def test_rolling_shutter_frame_indexed_after_stream(synthetic_dataset,
+                                                    small_spec):
+    """After transfer_stream, rolling shutter is frame-indexed: frame=i
+    reproduces the per-frame engine's output for that (non-last) frame,
+    and omitting frame= is an explicit error (VERDICT r3 #6)."""
+    import pytest
+
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+    from lidar_transfer_tpu.pipeline.multiscan import stack_windows
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    wins = [load_window(seq, cfg, i, 8192) for i in (0, 1, 2)]
+    pose = np.eye(4)
+    pose[0, 3] = 0.5
+
+    eng = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True)
+    eng.transfer_stream(stack_windows(wins))
+    with pytest.raises(ValueError, match="frame=i"):
+        eng.resynthesize_rolling_shutter(pose)
+    rs1 = eng.resynthesize_rolling_shutter(pose, frame=1)
+
+    ref = TransferEngine(small_spec, small_spec, cfg, 8192,
+                         fixed_bounds=True)
+    ref.transfer_fast(wins[1])
+    rs_ref = ref.resynthesize_rolling_shutter(pose)
+    np.testing.assert_array_equal(np.asarray(rs1.mask),
+                                  np.asarray(rs_ref.mask))
+    np.testing.assert_allclose(np.asarray(rs1.range),
+                               np.asarray(rs_ref.range), atol=1e-5)
+
+
 def test_rolling_splat_cross_validates_raymarcher(synthetic_dataset,
                                                   small_spec):
     """Same motion, two engines: the splat rolling reprojection and the
