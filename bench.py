@@ -70,8 +70,8 @@ def parse_args(argv=None):
     ap.add_argument("--upsample", action="store_true",
                     help="128x2048 target (2x beam density): exercises "
                          "the chord-interpolated upsampling coverage "
-                         "(ops/splat._interp_candidates; classic body — "
-                         "the fast body falls back while interp is on)")
+                         "(ops/splat._interp_candidates on the "
+                         "gather-free fast body since round 4)")
     ap.add_argument("--adaption", default="mergemesh",
                     choices=["mergemesh", "mesh", "cp"],
                     help="mesh = per-scan integrates (staged dispatch; "

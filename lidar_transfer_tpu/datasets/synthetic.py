@@ -38,12 +38,45 @@ class Cylinder:
 
 
 @dataclasses.dataclass(frozen=True)
+class Mover:
+    """A box that translates by ``velocity`` meters per frame.
+
+    Labels should come from SemanticKITTI's moving range 252-259 (the
+    reference's ``moving`` list, config/lidar_transfer.yaml) so the
+    multi-scan window masks it from non-primary scans
+    (≡ laserscan.py:803-804) — the de-ghosting behavior that mask
+    exists for."""
+
+    box: Box                               # geometry at frame 0
+    velocity: tuple[float, float, float]   # meters per frame
+
+    def at_frame(self, frame: float) -> Box:
+        c = self.box.center
+        v = self.velocity
+        return Box(center=(c[0] + v[0] * frame, c[1] + v[1] * frame,
+                           c[2] + v[2] * frame),
+                   size=self.box.size, label=self.box.label)
+
+
+@dataclasses.dataclass(frozen=True)
 class Scene:
     ground_z: float = -2.0
     ground_label: int = 40                # road
     boxes: tuple[Box, ...] = ()
     cylinders: tuple[Cylinder, ...] = ()
+    movers: tuple[Mover, ...] = ()        # dynamic objects (see Mover)
     max_range: float = 80.0
+
+    def at_frame(self, frame: float) -> "Scene":
+        """The static geometry this scene presents at ``frame`` (movers
+        displaced to their positions and folded into ``boxes``)."""
+        if not self.movers:
+            return self
+        return dataclasses.replace(
+            self,
+            boxes=self.boxes + tuple(m.at_frame(frame)
+                                     for m in self.movers),
+            movers=())
 
     @classmethod
     def default(cls) -> "Scene":
@@ -65,6 +98,19 @@ class Scene:
                          z_range=(-2.0, 3.0), label=71),
             ),
         )
+
+    @classmethod
+    def default_dynamic(cls) -> "Scene":
+        """The default scene plus an oncoming car (SemanticKITTI 252,
+        moving-car): 2.5 m/frame along -x through the sensor's field —
+        large per-frame displacement so a window that fuses stale
+        positions produces unmistakable ghosts."""
+        base = cls.default()
+        return dataclasses.replace(
+            base,
+            movers=(Mover(box=Box(center=(14.0, 2.5, -1.2),
+                                  size=(4.2, 1.8, 1.6), label=252),
+                          velocity=(-2.5, 0.0, 0.0)),))
 
 
 def _ray_ground(origins, dirs, ground_z):
@@ -163,10 +209,14 @@ def remission_for(labels: np.ndarray, points: np.ndarray) -> np.ndarray:
 
 
 def simulate_scan(scene: Scene, spec: SensorSpec, pose: np.ndarray,
-                  drop_misses: bool = True
+                  drop_misses: bool = True, frame: float = 0.0
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Simulate one scan at a world pose. -> (points(sensor frame) (N,3) f32,
-    remissions (N,), labels (N,) i32)."""
+    remissions (N,), labels (N,) i32).
+
+    ``frame`` places the scene's movers at their positions for that
+    frame (``Scene.at_frame``); static scenes ignore it."""
+    scene = scene.at_frame(frame)
     dirs_s = sensor_rays(spec)
     rot = pose[:3, :3]
     trans = pose[:3, 3]
@@ -226,7 +276,7 @@ def write_kitti_dataset(root: str, scene: Scene, spec: SensorSpec,
     kitti.write_poses(os.path.join(seq_dir, "poses.txt"), poses, calib)
 
     for i in range(n_scans):
-        points, rem, labels = simulate_scan(scene, spec, poses[i])
+        points, rem, labels = simulate_scan(scene, spec, poses[i], frame=i)
         kitti.write_scan_file(
             os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"), points, rem)
         kitti.write_label_file(

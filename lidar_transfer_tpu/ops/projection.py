@@ -384,15 +384,15 @@ def _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
     pix, depth_key, depth, _, _, _, _, valid = _pixel_keys(
         points, valid, fov_up_deg, fov_down_deg, beam_angles,
         H, W, beam_rows, winner)
-    _, si, is_first = _winner_sort(pix, depth_key, npix)
-    return si, is_first, depth
+    sp, si, is_first = _winner_sort(pix, depth_key, npix)
+    return sp, si, is_first, depth
 
 
 def project_winner_order(points: jax.Array, valid: jax.Array, *,
                          H: int, W: int, fov_up_deg, fov_down_deg,
                          beam_angles=None, beam_rows: bool = False,
-                         winner: str = "depth"
-                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+                         winner: str = "depth",
+                         return_pixels: bool = False):
     """Winner flags in SORTED (pixel, depth) order — no scatter at all.
 
     Same winner set as ``project_winners`` but returned as
@@ -404,6 +404,14 @@ def project_winner_order(points: jax.Array, valid: jax.Array, *,
     scattering flags back to point order; candidate order then matches
     the classic image path's source-pixel order, including exact-tie
     resolution. ``depth`` is per-point (original order).
+
+    ``return_pixels=True`` prepends ``sp`` (the sorted pixel index of
+    each entry, ``npix`` for invalid points): ``(sp, si, is_first,
+    depth)``. With it a consumer can densify winner rows into image
+    raster order with ONE row scatter (``img.at[sp].set(rows)`` where
+    ``is_first``) — the fast upsampling body uses this to hand the
+    chord interpolation an image-gridded view without assembling a
+    RangeImage.
     """
     if winner not in ("depth", "pdist"):
         raise ValueError(f"unknown winner rule {winner!r}")
@@ -412,8 +420,9 @@ def project_winner_order(points: jax.Array, valid: jax.Array, *,
     if beam_angles is not None:
         beam_angles = jnp.asarray(beam_angles, jnp.float32)
     _check_beam_rows(beam_rows, beam_angles, H)
-    return _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
-                              beam_angles, H, W, beam_rows, winner)
+    out = _winner_order_impl(points, valid, fov_up_deg, fov_down_deg,
+                             beam_angles, H, W, beam_rows, winner)
+    return out if return_pixels else out[1:]
 
 
 def project_winners(points: jax.Array, valid: jax.Array, *,

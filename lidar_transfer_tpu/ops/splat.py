@@ -516,7 +516,8 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                      fov_up_deg: float, fov_down_deg: float,
                      vol_origin, active_dims=None, beam_angles=None,
                      samples_per_ray: int = 8, attrs: str = "auto",
-                     label_probe: bool = True, interp=None):
+                     label_probe: bool = True, interp=None,
+                     interp_sources=None):
     """Synthesize a target-spec virtual scan from the fused volume.
 
     Args:
@@ -541,12 +542,13 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         raymarcher label-0 semantics, drops the K-sample label gather).
       interp: None, or (H, W, m_v, m_u, tan_min) — source-image dims,
         the interior interpolation counts, and the connectivity angle
-        tangent for UPSAMPLING targets (see
-        ``_interp_candidates``; requires every source's flat arrays to
-        be in (H, W) row-major image order, which holds on the
-        image-assembling engine paths but NOT on the z-buffer-ordered
-        fast body — the engine falls back to the classic body when
-        interpolation is active).
+        tangent for UPSAMPLING targets (see ``_interp_candidates``;
+        requires flat arrays in (H, W) row-major image order).
+      interp_sources: optional list of image-ORDERED source tuples to
+        feed ``_interp_candidates`` when ``sources`` itself is not in
+        image order (the z-buffer-ordered fast body densifies its
+        winners into raster order with one row scatter and passes the
+        result here). Defaults to ``sources``.
 
     Returns a RangeImage-like tuple:
       (range (H,W), label (H,W), remission (H,W), endpoints (H,W,3),
@@ -605,7 +607,9 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                                    H=iH, W=iW, m_v=m_v, m_u=m_u,
                                    voxel_size=float(spec.voxel_size),
                                    v_span=v_span)
-                for (r, p, v, lf, rf) in sources)
+                for (r, p, v, lf, rf) in (
+                    sources if interp_sources is None
+                    else interp_sources))
     pos = jnp.concatenate([a[0] for a in parts])
     tsdf_v = jnp.concatenate([a[2] for a in parts])
     label_v = jnp.concatenate([a[3] for a in parts])

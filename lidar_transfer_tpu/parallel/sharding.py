@@ -216,12 +216,9 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
     # others keep the materialized body
     adaption = engine.cfg.adaption
     use_fast = engine.synthesis == "splat"
-    # the z-buffer-ordered fast body cannot interpolate (upsampling
-    # targets): take the equally volume-free classic deferred body, as
-    # transfer_fast/transfer_stream do — NOT the fast body (silently
-    # sparse rows) and NOT the materialized body (a volume per frame)
-    interp_deferred = (use_fast and adaption == "mergemesh"
-                       and engine._interp_active)
+    # upsampling targets: the fast body densifies its winners for the
+    # chord interpolation itself (round-4 rewrite, _mergemesh_core_fast)
+    # — no special routing needed anymore
     mesh_fold = (adaption == "mesh" and use_fast
                  and engine.mesh_attrs == "fold")
     if adaption not in ("mergemesh", "mesh"):
@@ -241,8 +238,6 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
         if mesh_fold:
             (rng, lbl, rem, ends, mask), _ = engine._mesh_fast_body(w)
             return rng, lbl, rem, ends, mask
-        if interp_deferred:
-            return engine._mergemesh_core_deferred(w)[:5]
         if use_fast:
             rng, lbl, rem, ends, mask, _ = engine._mergemesh_core_fast(w)
             return rng, lbl, rem, ends, mask

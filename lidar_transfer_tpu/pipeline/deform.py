@@ -130,10 +130,11 @@ class TransferEngine:
     # (ops/splat._interp_candidates); False disables (pre-round-3
     # behavior: interior target rows/columns stay empty); True forces
     # the auto-computed counts (still 0 for non-upsampling targets).
-    # Applies to splat synthesis on the image-assembling bodies; the
-    # z-buffer-ordered mergemesh fast body falls back to the classic
-    # body while interpolation is active. cp is NOT interpolated — the
-    # reference's cp has no mesh either (laserscan.py:827-861).
+    # Applies to splat synthesis on every mergemesh body — the
+    # z-buffer-ordered fast body densifies its winners into raster
+    # order with one row scatter and interpolates there (round 4).
+    # cp is NOT interpolated — the reference's cp has no mesh either
+    # (laserscan.py:827-861).
     upsample_interp: bool | str = "auto"
     # Connectivity angle (degrees) for the upsampling interpolation: two
     # adjacent returns are chord-connected when the classic range-image
@@ -950,11 +951,11 @@ class TransferEngine:
         deterministic; real LiDAR never ties exactly).
         """
         pts, rem, lbl, valid = merge_window(window)
-        si, is_first, depth = P.project_winner_order(
+        sp, si, is_first, depth = P.project_winner_order(
             pts, valid, H=self.source.H, W=self.source.W,
             fov_up_deg=self.target.fov_up,
             fov_down_deg=self.target.fov_down,
-            beam_angles=self.s_beam_angles)
+            beam_angles=self.s_beam_angles, return_pixels=True)
         # ONE row gather puts all candidate attributes in z-buffer order
         # (vectorized 2-D gather path) — no scatter back to point order
         # labels as float VALUES (exact below 2^24), never a bitcast —
@@ -969,6 +970,35 @@ class TransferEngine:
         c_rem = rows[:, 4]
         c_lbl = jnp.rint(rows[:, 5]).astype(jnp.int32)
         origin, active = self._frame_volume(pts, valid)
+        interp = interp_sources = None
+        if self._interp_active:
+            # UPSAMPLING targets: the chord interpolation needs an
+            # image-gridded view of the winners. The sorted rows carry
+            # every winner tagged with its pixel (sp) — densify them
+            # into raster order with ONE (HW+1, 6) row scatter (the same
+            # vectorized scatter class as _target_assemble's win_idx
+            # densification), instead of running the classic
+            # RangeImage-assembling body whose larger gather surface
+            # drew a slow remote lowering 1-in-5 (BASELINE.md round-3
+            # upsampling floor campaign: 91 vs 123 scans/s).
+            # Chord endpoints are the winners' ORIGINAL points — the
+            # classic body's reverse_project(preserve_float=True)
+            # reconstructs exactly these up to float ulps (same accepted
+            # deviation as the fast body's own candidates).
+            sH, sW = self.source.H, self.source.W
+            npix = sH * sW
+            tgt = jnp.where(is_first, sp, npix)
+            img = jnp.zeros((npix + 1, 6), jnp.float32
+                            ).at[tgt].set(rows, mode="drop")[:npix]
+            img_valid = jnp.zeros((npix + 1,), bool
+                                  ).at[tgt].set(is_first,
+                                                mode="drop")[:npix]
+            interp_sources = [(
+                img[:, 3], img[:, 0:3], img_valid,
+                jnp.rint(img[:, 5]).astype(jnp.int32), img[:, 4])]
+            interp = (sH, sW, self._interp_mv, self._interp_mu,
+                      float(np.tan(np.radians(self.interp_angle_deg))),
+                      self._interp_vspan)
         from lidar_transfer_tpu.ops.splat import splat_synthesize
 
         rng, lbl_o, rem_o, ends, mask = splat_synthesize(
@@ -978,7 +1008,8 @@ class TransferEngine:
             fov_up_deg=self.target.fov_up,
             fov_down_deg=self.target.fov_down,
             vol_origin=origin, active_dims=active,
-            beam_angles=self.t_beam_angles, attrs="image")
+            beam_angles=self.t_beam_angles, attrs="image",
+            interp=interp, interp_sources=interp_sources)
         return rng, lbl_o, rem_o, ends, mask, origin
 
     def transfer_fast(self, window: ScanWindow) -> VirtualScan:
@@ -1003,11 +1034,7 @@ class TransferEngine:
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
         if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat"
-                # the fast body's candidates are z-buffer-ordered, not
-                # image-gridded — upsampling interpolation needs the
-                # classic image-assembling body (ops/splat interp doc)
-                and not self._interp_active):
+                and self.synthesis == "splat"):
             return self.transfer(window)[0]
         if self.fixed_bounds:
             fn = getattr(self, "_mm_jit_fast", None)
@@ -1101,11 +1128,11 @@ class TransferEngine:
                 adaption=outs[0].adaption)
         fn = getattr(self, "_mm_jit_stream", None)
         if fn is None:
-            # the interp-active stream scans the classic image body
-            # (the z-buffer-ordered fast body cannot interpolate); the
-            # body choice is fixed per engine so one jit cache suffices
-            body = (self._mergemesh_core_fast if not self._interp_active
-                    else self._mergemesh_core_deferred)
+            # one body for all targets: the fast body densifies winners
+            # for the chord interpolation itself when upsampling is
+            # active (round-4 rewrite — the classic image body's larger
+            # gather surface drew a slow remote lowering 1-in-5)
+            body = self._mergemesh_core_fast
 
             def stream(ws):
                 def step(carry, w):

@@ -152,8 +152,7 @@ def stack_windows(wins: list[ScanWindow]) -> ScanWindow:
     ``TransferEngine.transfer_stream``.
 
     (The streamed engine's lazy volume consumers — ``fused_state``,
-    rolling shutter — refer to the LAST stacked frame; ``fused_state``
-    warns when that applies.)
+    rolling shutter — take an explicit ``frame=i`` afterwards.)
     """
     return ScanWindow(
         points=jnp.stack([w.points for w in wins]),

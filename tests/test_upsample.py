@@ -157,29 +157,36 @@ def test_upsample_matches_raymarch_bulk(synthetic_dataset, small_spec,
     assert agree.mean() > 0.9
 
 
-def test_upsample_fast_and_stream_fall_back(synthetic_dataset, small_spec,
-                                            up_spec):
-    """The z-buffer-ordered fast body cannot interpolate; transfer_fast
-    and transfer_stream must route through the classic body and agree
-    with transfer() exactly."""
-    import jax
-
+def test_upsample_fast_and_stream_interpolate(synthetic_dataset,
+                                              small_spec, up_spec):
+    """The gather-free fast body interpolates itself (round 4: winners
+    densified into raster order with one row scatter); it must agree
+    with the classic transfer() to float-ulp tolerance (chord endpoints
+    are the original points vs the classic body's reverse-projected
+    reconstructions) and the stream must equal the fast body exactly."""
     cfg = _cfg()
     seq = KittiSequence.open(synthetic_dataset)
     win = load_window(seq, cfg, 1, CAP)
     eng = TransferEngine(small_spec, up_spec, cfg, CAP, fixed_bounds=True)
     vs, _ = eng.transfer(win)
     vf = eng.transfer_fast(win)
-    np.testing.assert_array_equal(np.asarray(vs.mask), np.asarray(vf.mask))
-    np.testing.assert_array_equal(np.asarray(vs.label),
-                                  np.asarray(vf.label))
+    mc, mf = np.asarray(vs.mask), np.asarray(vf.mask)
+    assert (mc == mf).mean() > 0.99           # pixel-boundary flips only
+    assert abs(mc.mean() - mf.mean()) < 0.005  # same coverage
+    both = mc & mf
+    dr = np.abs(np.asarray(vs.range) - np.asarray(vf.range))[both]
+    assert (dr < 1e-4).mean() > 0.999
+    same = (np.asarray(vs.label) == np.asarray(vf.label))[both]
+    assert same.mean() > 0.999
 
     from lidar_transfer_tpu.pipeline.multiscan import stack_windows
 
     sv = eng.transfer_stream(stack_windows([win, win]))
     assert sv.range.shape[0] == 2
     np.testing.assert_array_equal(np.asarray(sv.label[0]),
-                                  np.asarray(vs.label))
+                                  np.asarray(vf.label))
+    np.testing.assert_allclose(np.asarray(sv.range[0]),
+                               np.asarray(vf.range), atol=1e-5)
 
 
 def test_upsample_mesh_adaption(synthetic_dataset, small_spec, up_spec):
