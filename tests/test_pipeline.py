@@ -173,14 +173,17 @@ def test_mergemesh_downbeam(synthetic_dataset, small_spec, scene):
     assert agree > 0.85
 
 
-def test_catmesh_identity(synthetic_dataset, small_spec, scene):
-    """catmesh 16->16 (the strategy the reference stubs, laserscan.py:1014):
-    per-category meshes, nearest-hit raycast. Ranges must track the source
-    like mergemesh does, labels must be pure category ids, and the
-    adaption must be reachable through transfer()."""
+@pytest.mark.parametrize("engine", ["splat", "oracle"])
+def test_catmesh_identity(synthetic_dataset, small_spec, scene, engine):
+    """catmesh 16->16 (the strategy the reference stubs, laserscan.py:1014)
+    on BOTH engines — the production splat body (device, default) and the
+    per-category-mesh host oracle. Ranges must track the source like
+    mergemesh does, labels must be pure category ids, and the adaption
+    must be reachable through transfer()."""
     cfg = make_cfg(adaption="catmesh", number_of_scans=1)
     seq = KittiSequence.open(synthetic_dataset)
-    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         catmesh_engine=engine)
     idx = 2
     window = load_window(seq, cfg, idx, CAP)
     vs, ri = eng.transfer(window)
@@ -260,7 +263,8 @@ def test_catmesh_jax_fallback_branch(synthetic_dataset, small_spec,
     monkeypatch.setattr(native, "available", lambda: False)
     cfg = make_cfg(adaption="catmesh", number_of_scans=1)
     seq = KittiSequence.open(synthetic_dataset)
-    eng = TransferEngine(small_spec, small_spec, cfg, CAP)
+    eng = TransferEngine(small_spec, small_spec, cfg, CAP,
+                         catmesh_engine="oracle")
     idx = 2
     window = load_window(seq, cfg, idx, CAP)
     vs, _ = eng.transfer(window)
