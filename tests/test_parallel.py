@@ -48,6 +48,51 @@ def test_sharded_integrate_matches_single(mesh8, rng):
                                np.asarray(ref.weight), atol=1e-6)
 
 
+def test_sharded_synthesis_matches_single(mesh8, rng):
+    """The sharded-volume CONSUMER (round 4): synthesis from the
+    X-sharded volume must equal the single-device volume-probe splat
+    bit-for-bit — slab-local band gathers + one pmin/psum merge select
+    exactly the same candidates."""
+    from lidar_transfer_tpu.ops import raycast as RC
+    from lidar_transfer_tpu.ops.splat import splat_synthesize
+    from lidar_transfer_tpu.parallel import splat_synthesize_sharded
+
+    spec = TS.VolumeSpec(origin=(-8.0, -8.0, -2.0), voxel_size=0.25,
+                         dims=(64, 64, 16))
+    H, W = 16, 64
+    depth = (rng.random((H, W)) * 6 + 0.5).astype(np.float32)
+    label = rng.choice(np.array([10, 40, 50], np.int32), size=(H, W))
+    rem = rng.random((H, W)).astype(np.float32)
+
+    # fuse sharded (proven equal to single-device in the test above)
+    state_s = shard_volume(spec.init_state(), mesh8)
+    state_s = integrate_sharded(state_s, spec, mesh8, jnp.asarray(depth),
+                                jnp.asarray(label), jnp.asarray(rem),
+                                fov_up_deg=30.0, fov_down_deg=-30.0)
+    state_1 = TS.integrate(spec.init_state(), spec, jnp.asarray(depth),
+                           jnp.asarray(label), jnp.asarray(rem),
+                           fov_up_deg=30.0, fov_down_deg=-30.0)
+
+    rays = jnp.asarray(RC.generate_rays(H, W, 30.0, -30.0))
+    pts = rays * depth.reshape(-1)[:, None]
+    srcs = (depth.reshape(-1), pts, depth.reshape(-1) > 0)
+
+    out_s = splat_synthesize_sharded(
+        state_s, spec, mesh8, [srcs], target_H=H, target_W=W,
+        fov_up_deg=30.0, fov_down_deg=-30.0)
+    out_1 = splat_synthesize(
+        state_1, spec, [(srcs[0], srcs[1], srcs[2],
+                         jnp.zeros_like(srcs[0]), jnp.zeros_like(srcs[0]))],
+        target_H=H, target_W=W, fov_up_deg=30.0, fov_down_deg=-30.0,
+        vol_origin=spec.origin, attrs="volume", label_probe=False)
+
+    names = ("range", "label", "remission", "endpoints", "mask")
+    assert bool(np.asarray(out_s[4]).any()), "sharded synthesis empty"
+    for name, a, b in zip(names, out_s, out_1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_sharded_confusion(mesh8):
     dp = mesh8.shape["data"]
     n = 4

@@ -181,7 +181,7 @@ def test_engine_rolling_shutter_identity(synthetic_dataset, small_spec):
                          fixed_bounds=True, synthesis="raymarch")
     window = load_window(seq, cfg, 2, 8192)
     vs_static, _ = eng.transfer(window)
-    vs_rs = eng.resynthesize_rolling_shutter(np.eye(4))
+    vs_rs = eng.resynthesize_rolling_shutter(np.eye(4), engine="raymarch")
     np.testing.assert_array_equal(np.asarray(vs_rs.mask),
                                   np.asarray(vs_static.mask))
     both = np.asarray(vs_rs.mask) & np.asarray(vs_static.mask)
@@ -285,7 +285,7 @@ def test_rolling_splat_cross_validates_raymarcher(synthetic_dataset,
     eng_r = TransferEngine(small_spec, small_spec, cfg, 8192,
                            fixed_bounds=True, synthesis="raymarch")
     eng_r.transfer(window)
-    rs_r = eng_r.resynthesize_rolling_shutter(pose)
+    rs_r = eng_r.resynthesize_rolling_shutter(pose, engine="raymarch")
 
     both = np.asarray(rs_s.mask) & np.asarray(rs_r.mask)
     assert both.mean() > 0.3
@@ -348,3 +348,53 @@ def test_mesh_deferred_rolling_shutter(synthetic_dataset, small_spec):
     # static-pose rolling == plain reprojection of the merged points;
     # differs from the fold output only at collision/boundary pixels
     assert np.median(dr) < cfg.voxel_size
+
+
+def test_rolling_volume_core_materialized_engines(synthetic_dataset,
+                                                  small_spec):
+    """Materialized engines (no stashed window) take the volume-band
+    reprojection (round 4 — replaces the ~1.5 s raymarcher fallback):
+    identity pose tracks the static output sub-voxel, and under motion
+    it agrees with the splat-window rolling core."""
+    from lidar_transfer_tpu.config import TransferConfig
+    from lidar_transfer_tpu.datasets.kitti import KittiSequence
+    from lidar_transfer_tpu.pipeline import TransferEngine, load_window
+
+    cfg = TransferConfig(adaption="mergemesh", number_of_scans=1,
+                         voxel_size=0.25,
+                         voxel_bounds=((-16.0, 16.0), (-16.0, 16.0),
+                                       (-4.0, 4.0)))
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 2, 8192)
+
+    eng_m = TransferEngine(small_spec, small_spec, cfg, 8192,
+                           fixed_bounds=True, defer_volume=False)
+    vs_m, _ = eng_m.transfer(win)
+    assert getattr(eng_m, "_pending_window", None) is None  # materialized
+
+    # identity pose: volume-band reprojection == the static output up to
+    # voxel quantization of the band probe
+    rs_id = eng_m.resynthesize_rolling_shutter(np.eye(4))
+    mm, ms = np.asarray(rs_id.mask), np.asarray(vs_m.mask)
+    assert (mm == ms).mean() > 0.97
+    both = mm & ms
+    dr = np.abs(np.asarray(rs_id.range) - np.asarray(vs_m.range))[both]
+    assert np.median(dr) < 0.5 * cfg.voxel_size
+    same = (np.asarray(rs_id.label) == np.asarray(vs_m.label))[both]
+    assert same.mean() > 0.98
+
+    # under motion: agrees with the splat-window rolling core
+    pose = np.eye(4)
+    pose[0, 3] = 0.5
+    rs_mv = eng_m.resynthesize_rolling_shutter(pose)
+    eng_s = TransferEngine(small_spec, small_spec, cfg, 8192,
+                           fixed_bounds=True)
+    eng_s.transfer_fast(win)
+    rs_s = eng_s.resynthesize_rolling_shutter(pose)
+    m1, m2 = np.asarray(rs_mv.mask), np.asarray(rs_s.mask)
+    assert (m1 == m2).mean() > 0.98
+    both = m1 & m2
+    dr = np.abs(np.asarray(rs_mv.range) - np.asarray(rs_s.range))[both]
+    assert np.median(dr) < 0.5 * cfg.voxel_size
+    same = (np.asarray(rs_mv.label) == np.asarray(rs_s.label))[both]
+    assert same.mean() > 0.98
