@@ -1081,9 +1081,13 @@ class TransferEngine:
             # UPSAMPLING targets: the chord interpolation needs an
             # image-gridded view of the winners. The sorted rows carry
             # every winner tagged with its pixel (sp) — densify them
-            # into raster order with ONE (HW+1, 6) row scatter (the same
-            # vectorized scatter class as _target_assemble's win_idx
-            # densification), instead of running the classic
+            # into raster order with ONE int32 index scatter + ONE
+            # (HW, 6) row gather (exactly _target_assemble's win_idx
+            # pattern: int scatters and row gathers are the two classes
+            # this compiler lowers well; scattering the 6 float columns
+            # + a bool directly measured ~7x the bytes and put the
+            # round-4 first cut at 76-96 scans/s, BELOW the classic
+            # body it replaced), instead of running the classic
             # RangeImage-assembling body whose larger gather surface
             # drew a slow remote lowering 1-in-5 (BASELINE.md round-3
             # upsampling floor campaign: 91 vs 123 scans/s).
@@ -1093,12 +1097,15 @@ class TransferEngine:
             # deviation as the fast body's own candidates).
             sH, sW = self.source.H, self.source.W
             npix = sH * sW
+            imax = jnp.int32(2**31 - 1)
             tgt = jnp.where(is_first, sp, npix)
-            img = jnp.zeros((npix + 1, 6), jnp.float32
-                            ).at[tgt].set(rows, mode="drop")[:npix]
-            img_valid = jnp.zeros((npix + 1,), bool
-                                  ).at[tgt].set(is_first,
-                                                mode="drop")[:npix]
+            win = jnp.full((npix + 1,), imax, jnp.int32).at[tgt].set(
+                jnp.where(is_first,
+                          jnp.arange(rows.shape[0], dtype=jnp.int32),
+                          imax),
+                mode="drop")[:npix]
+            img_valid = win != imax
+            img = rows[jnp.where(img_valid, win, 0)]   # ONE row gather
             interp_sources = [(
                 img[:, 3], img[:, 0:3], img_valid,
                 jnp.rint(img[:, 5]).astype(jnp.int32), img[:, 4])]
