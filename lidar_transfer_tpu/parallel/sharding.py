@@ -323,9 +323,14 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
     # others keep the materialized body
     adaption = engine.cfg.adaption
     use_fast = engine.synthesis == "splat"
-    # upsampling targets: the fast body densifies its winners for the
-    # chord interpolation itself (round-4 rewrite, _mergemesh_core_fast)
-    # — no special routing needed anymore
+    # upsampling targets default to the equally volume-free classic
+    # deferred body (measured faster than the round-4 interpolating
+    # fast body — engine._interp_body_fast has the evidence; the env
+    # knob flips it here too) — NOT the materialized body (a volume
+    # per frame)
+    interp_deferred = (use_fast and adaption == "mergemesh"
+                       and engine._interp_active
+                       and not engine._interp_body_fast)
     mesh_fold = (adaption == "mesh" and use_fast
                  and engine.mesh_attrs == "fold")
     if adaption not in ("mergemesh", "mesh"):
@@ -345,6 +350,8 @@ def frame_parallel_transfer(engine, windows, mesh: Mesh | None = None):
         if mesh_fold:
             (rng, lbl, rem, ends, mask), _ = engine._mesh_fast_body(w)
             return rng, lbl, rem, ends, mask
+        if interp_deferred:
+            return engine._mergemesh_core_deferred(w)[:5]
         if use_fast:
             rng, lbl, rem, ends, mask, _ = engine._mergemesh_core_fast(w)
             return rng, lbl, rem, ends, mask

@@ -33,6 +33,7 @@ Known reference quirks handled here:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -262,6 +263,26 @@ class TransferEngine:
     def _interp_active(self) -> bool:
         return (self.synthesis == "splat"
                 and (self._interp_mv > 0 or self._interp_mu > 0))
+
+    @property
+    def _interp_body_fast(self) -> bool:
+        """Round-4 A/B: use the z-buffer fast body for UPSAMPLING targets.
+
+        The fast body CAN interpolate (winners densified to raster order
+        via one int32 index scatter + one row gather) but measures
+        ~95-99 scans/s at 64×2048→128×2048 vs the classic deferred
+        body's ~123: the target-assemble's win_idx scatter (~1.6 ms) and
+        per-pixel attribute row gather (~4.5 ms at 262k pixels,
+        scripts/probe_assemble_variants.py — every gather formulation
+        measures the same) are a SHARED structural floor, and the fast
+        body adds a duplicative densify stage on top (xplane trace,
+        BASELINE.md round 4). Default is therefore the classic body;
+        set LT_INTERP_STREAM_BODY=fast to flip (re-probe each round —
+        the remote compiler's lowering regimes move). Read at first
+        transfer (the body choice is baked into the engine's jit
+        caches).
+        """
+        return os.environ.get("LT_INTERP_STREAM_BODY") == "fast"
 
     @property
     def _mm_family_fast(self) -> bool:
@@ -1146,7 +1167,11 @@ class TransferEngine:
             rng, lbl, rem, ends, mask = fn(window)
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
-        if not (self._mm_family_fast and self.synthesis == "splat"):
+        if not (self._mm_family_fast and self.synthesis == "splat"
+                # upsampling default-routes to the classic deferred body
+                # (equally volume-free; measured faster — see
+                # _interp_body_fast)
+                and (not self._interp_active or self._interp_body_fast)):
             return self.transfer(window)[0]
         if self.fixed_bounds:
             fn = getattr(self, "_mm_jit_fast", None)
@@ -1241,11 +1266,13 @@ class TransferEngine:
                 adaption=outs[0].adaption)
         fn = getattr(self, "_mm_jit_stream", None)
         if fn is None:
-            # one body for all targets: the fast body densifies winners
-            # for the chord interpolation itself when upsampling is
-            # active (round-4 rewrite — the classic image body's larger
-            # gather surface drew a slow remote lowering 1-in-5)
-            body = self._mergemesh_core_fast
+            # upsampling targets stream the classic deferred body by
+            # default; LT_INTERP_STREAM_BODY=fast streams the round-4
+            # interpolating fast body instead (measured slower — the
+            # _interp_body_fast note has the trace/probe evidence)
+            body = (self._mergemesh_core_fast
+                    if not self._interp_active or self._interp_body_fast
+                    else self._mergemesh_core_deferred)
 
             def stream(ws):
                 def step(carry, w):

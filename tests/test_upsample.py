@@ -157,13 +157,21 @@ def test_upsample_matches_raymarch_bulk(synthetic_dataset, small_spec,
     assert agree.mean() > 0.9
 
 
+@pytest.mark.parametrize("body", ["classic", "fast"])
 def test_upsample_fast_and_stream_interpolate(synthetic_dataset,
-                                              small_spec, up_spec):
-    """The gather-free fast body interpolates itself (round 4: winners
-    densified into raster order with one row scatter); it must agree
-    with the classic transfer() to float-ulp tolerance (chord endpoints
-    are the original points vs the classic body's reverse-projected
-    reconstructions) and the stream must equal the fast body exactly."""
+                                              small_spec, up_spec,
+                                              monkeypatch, body):
+    """Both interp stream bodies agree with the classic transfer().
+
+    body="fast" exercises the round-4 interpolating fast body (winners
+    densified into raster order with one int32 index scatter + row
+    gather); it must agree with the classic transfer() to float-ulp
+    tolerance (chord endpoints are the original points vs the classic
+    body's reverse-projected reconstructions). body="classic" is the
+    default routing (measured faster on device — deform.py
+    _interp_body_fast) and must match transfer() exactly. Either way
+    the stream must equal transfer_fast exactly."""
+    monkeypatch.setenv("LT_INTERP_STREAM_BODY", body)
     cfg = _cfg()
     seq = KittiSequence.open(synthetic_dataset)
     win = load_window(seq, cfg, 1, CAP)
