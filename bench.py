@@ -70,8 +70,10 @@ def parse_args(argv=None):
     ap.add_argument("--upsample", action="store_true",
                     help="128x2048 target (2x beam density): exercises "
                          "the chord-interpolated upsampling coverage "
-                         "(ops/splat._interp_candidates on the "
-                         "gather-free fast body since round 4)")
+                         "(ops/splat._interp_candidates; default-routes "
+                         "to the classic deferred body — measured faster "
+                         "than the interpolating fast body, which "
+                         "LT_INTERP_STREAM_BODY=fast keeps for A/B)")
     ap.add_argument("--adaption", default="mergemesh",
                     choices=["mergemesh", "mesh", "cp", "catmesh"],
                     help="mesh = per-scan integrates (staged dispatch; "

@@ -300,11 +300,24 @@ def _band_samples_fold(rng_s, pts_s, valid_s, label_s, rem_s,
                      "label_probe"))
 def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
                   vol_origin, active_dims, dims, voxel_size,
-                  samples_per_ray, label_probe=True):
+                  samples_per_ray, label_probe=True, x_offset=None):
     """Per source pixel: K positions through the band + volume attributes.
 
     Returns flat arrays of length K * HW: positions (N,3), depth (N,),
     tsdf value, label, remission, valid mask.
+
+    ``x_offset`` (X-sharded volumes, parallel/sharding.sharded_band_probe):
+    when set, ``vol_origin`` must be the GLOBAL volume origin and
+    ``tsdf``/``label``/``rem``/``dims``/``active_dims`` the local X-slab;
+    voxel indices are computed against the global origin (the identical
+    f32 expression on every shard — bit-equal results) and then shifted
+    by the integer ``x_offset`` before the inside test and gather.
+    Deriving ownership from a per-shard f32 origin instead would not
+    partition exactly: round((pos - origin - k*slab*vox)/vox) need not
+    equal round((pos - origin)/vox) - k*slab (f32 rounding of the
+    shifted origin, and half-to-even ties are not shift-invariant), so a
+    slab-boundary sample could be claimed by both neighbors (psum then
+    doubles its attributes) or by neither (candidate lost).
 
     ``label_probe``: True additionally requires label > 0 of every band
     sample (a K*HW label gather — measured ~39 ms/frame at reference
@@ -340,6 +353,10 @@ def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
     # corners (origin + i*vox), so round() reads the closest value sample —
     # floor() systematically reads one corner below/behind thin bands
     gi = jnp.round(g).astype(jnp.int32)
+    if x_offset is not None:
+        # global -> slab-local X index (exact integer shift; see the
+        # docstring's ownership argument)
+        gi = gi.at[:, 0].add(-jnp.asarray(x_offset, jnp.int32))
     inside = ((gi[:, 0] >= 0) & (gi[:, 0] < active_dims[0]) &
               (gi[:, 1] >= 0) & (gi[:, 1] < active_dims[1]) &
               (gi[:, 2] >= 0) & (gi[:, 2] < active_dims[2]))
@@ -610,6 +627,24 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                 for (r, p, v, lf, rf) in (
                     sources if interp_sources is None
                     else interp_sources))
+    return assemble_candidate_parts(
+        parts, fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
+        beam_angles=beam_angles, target_H=target_H, target_W=target_W,
+        trunc=float(spec.trunc_margin))
+
+
+def assemble_candidate_parts(parts, *, fov_up_deg, fov_down_deg,
+                             beam_angles, target_H, target_W,
+                             trunc: float):
+    """Shared synthesis tail: concat per-source candidate tuples and
+    z-buffer them into the target grid (``_target_assemble``).
+
+    The ONLY marshalling of candidate parts into _target_assemble —
+    used by ``splat_synthesize`` and the distributed twin
+    (``parallel.sharding.splat_synthesize_sharded``) so a change to the
+    candidate columns cannot silently break their bit-identical parity.
+    ``parts``: tuples of (pos, t, tsdf, label, rem, valid).
+    """
     pos = jnp.concatenate([a[0] for a in parts])
     tsdf_v = jnp.concatenate([a[2] for a in parts])
     label_v = jnp.concatenate([a[3] for a in parts])
@@ -626,4 +661,4 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         H=target_H, W=target_W,
         # row i = beam i, matching generate_rays
         beam_rows=beam_angles is not None,
-        trunc=float(spec.trunc_margin))
+        trunc=trunc)

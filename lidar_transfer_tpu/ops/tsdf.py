@@ -250,7 +250,8 @@ def _integrate_block(state_block: TSDFState, depth_im, label_im, rem_im,
 def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
                     fov_up_deg, fov_down_deg, obs_weight,
                     origin, active_dims, dims, voxel_size,
-                    x_chunk=None, reset=False, write_weight=True):
+                    x_chunk=None, reset=False, write_weight=True,
+                    x_offset=0):
     # origin and active_dims are *dynamic* operands: per-frame volume
     # placement/cropping must not trigger recompiles (dims are bucketed
     # static shapes; voxels beyond active_dims are masked off so a bucketed
@@ -259,9 +260,10 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
     args = (depth_im, label_im, rem_im, fov_up_deg, fov_down_deg,
             obs_weight, origin, active_dims)
 
+    base_off = jnp.asarray(x_offset, jnp.int32)
     if x_chunk is None or x_chunk >= X:
         return _integrate_block(state, *args,
-                                x_offset=jnp.int32(0), dims=dims,
+                                x_offset=base_off, dims=dims,
                                 voxel_size=voxel_size, reset=reset,
                                 write_weight=write_weight)
 
@@ -277,7 +279,7 @@ def _integrate_impl(state: TSDFState, depth_im, label_im, rem_im,
         block = TSDFState(*(
             jax.lax.slice_in_dim(a, x0, x0 + size, axis=0) for a in state))
         out = _integrate_block(block, *args,
-                               x_offset=jnp.int32(x0),
+                               x_offset=base_off + jnp.int32(x0),
                                dims=(size, Y, Z), voxel_size=voxel_size,
                                reset=reset, write_weight=write_weight)
         state = TSDFState(*(
@@ -304,9 +306,19 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
               fov_up_deg, fov_down_deg, obs_weight: float = 1.0,
               origin=None, active_dims=None,
               x_chunk: int | None = "auto", reset: bool = False,
-              write_weight: bool = True) -> TSDFState:
+              write_weight: bool = True, x_offset=0) -> TSDFState:
     """Fuse one range image into the volume (class-aware rule; see module
     docstring). Donates ``state`` for in-place HBM update.
+
+    ``x_offset`` (X-sharded volumes, parallel/sharding.integrate_sharded):
+    ``state``/``spec.dims`` describe the local X-slab while ``origin`` is
+    the GLOBAL volume origin; voxel world positions are computed as
+    ``origin + (local_x + x_offset) * voxel`` — the identical f32
+    expression the single-device full volume evaluates, so sharded and
+    single-device volumes are bit-equal even at voxel sizes that are
+    inexact in f32 (a per-shard f32-shifted origin is NOT: the shifted
+    add re-rounds). ``active_dims`` is compared against the offset
+    (global) x index.
 
     Args:
       depth_im: (H,W) f32 range image; 0 = no data
@@ -337,7 +349,7 @@ def integrate(state: TSDFState, spec: VolumeSpec, depth_im: jax.Array,
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(active_dims, jnp.float32),
         dims=spec.dims, voxel_size=spec.voxel_size, x_chunk=x_chunk,
-        reset=reset, write_weight=write_weight)
+        reset=reset, write_weight=write_weight, x_offset=x_offset)
 
 
 def integrate_reference_numpy(tsdf, weight, label, rem, spec: VolumeSpec,

@@ -20,6 +20,8 @@ TPU-native replacement:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -152,12 +154,18 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
     def local(st: TSDFState, d, l, r):
         shard_idx = (jax.lax.axis_index("data") * n_model
                      + jax.lax.axis_index("model"))
-        origin = jnp.asarray(spec.origin, jnp.float32)
-        origin = origin.at[0].add(
-            shard_idx.astype(jnp.float32) * slab * spec.voxel_size)
+        # GLOBAL origin + integer x_offset, NOT a per-shard f32-shifted
+        # origin: the shifted add re-rounds, so voxel world positions —
+        # and through them tsdf values and band membership — would drift
+        # ulps from the single-device volume at voxel sizes inexact in
+        # f32 (0.05, the headline point), breaking bit-identical parity
+        # (see ops.tsdf.integrate's x_offset note)
         return integrate(st, slab_spec, d, l, r,
                          fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
-                         obs_weight=obs_weight, origin=origin)
+                         obs_weight=obs_weight,
+                         origin=jnp.asarray(spec.origin, jnp.float32),
+                         active_dims=jnp.asarray(spec.dims, jnp.int32),
+                         x_offset=shard_idx * slab)
 
     vol_spec_x = P(("data", "model"), None, None)
     fn = shard_map(
@@ -170,50 +178,37 @@ def integrate_sharded(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
     return fn(state, depth_im, label_im.astype(jnp.int32), rem_im)
 
 
-def sharded_band_probe(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
-                       rng_flat, pts_flat, valid_flat, *,
-                       samples_per_ray: int = 8,
-                       label_probe: bool = False):
-    """Truncation-band candidates from an X-SHARDED volume (the sharded-
-    volume CONSUMER, round 4 — VERDICT r3 #4).
-
-    ``integrate_sharded`` proved the reference's scale-out TODO
-    (fusion_lidar.py:45) for WRITES; this is the read side: each device
-    probes band samples only where they fall inside its own X-slab
-    (``ops.splat._band_samples`` on the local shard with the slab's
-    origin), then the per-ray winner — the globally smallest in-band
-    sample depth — is merged with one ``pmin`` and the winner's
-    attributes with one ``psum`` over the mesh (a sample position lives
-    in exactly one slab, so the masked sum is exact selection, no ties).
-    Collective traffic is O(candidates) — a few MB — never O(voxels):
-    compute rides where the volume lives; only candidate rows cross ICI.
-
-    Args are ``_band_samples``'s flat per-source arrays (replicated).
-    Returns the replicated merged candidate tuple
-    (pos (N,3), t (N,), tsdf (N,), label i32 (N,), rem (N,), found (N,)).
-    """
+@functools.lru_cache(maxsize=32)
+def _band_probe_jit(mesh: Mesh, origin: tuple, voxel_size: float,
+                    dims: tuple, samples_per_ray: int, label_probe: bool):
+    """Jitted shard_map body for ``sharded_band_probe``, cached per
+    (mesh, volume geometry) so repeated calls — one per fused source per
+    frame — replay a compiled program instead of re-tracing a fresh
+    closure each time."""
     from jax import shard_map
 
     from lidar_transfer_tpu.ops.splat import _band_samples
 
     n_model = mesh.shape["model"]
     n_shards = mesh.shape["data"] * n_model
-    X = spec.dims[0]
-    if X % n_shards:
-        raise ValueError(f"volume X dim {X} not divisible by {n_shards}")
-    slab = X // n_shards
-    slab_dims = (slab,) + tuple(spec.dims[1:])
+    slab = dims[0] // n_shards
+    slab_dims = (slab,) + tuple(dims[1:])
 
-    def local(st: TSDFState):
+    def local(st: TSDFState, rng_flat, pts_flat, valid_flat):
         shard_idx = (jax.lax.axis_index("data") * n_model
                      + jax.lax.axis_index("model"))
-        origin = jnp.asarray(spec.origin, jnp.float32).at[0].add(
-            shard_idx.astype(jnp.float32) * slab * spec.voxel_size)
+        # GLOBAL origin + integer slab offset: every shard evaluates the
+        # identical f32 index expression (bit-equal), so the integer
+        # inside-test partitions ownership exactly — a per-shard f32
+        # origin would let slab-boundary samples be claimed twice (psum
+        # doubles their attributes) or dropped (see _band_samples)
         pos, t, tsdf_v, lbl, rem, found = _band_samples(
             st.tsdf, st.label, st.rem, rng_flat, pts_flat, valid_flat,
-            origin, jnp.asarray(slab_dims, jnp.float32),
-            dims=slab_dims, voxel_size=spec.voxel_size,
-            samples_per_ray=samples_per_ray, label_probe=label_probe)
+            jnp.asarray(origin, jnp.float32),
+            jnp.asarray(slab_dims, jnp.float32),
+            dims=slab_dims, voxel_size=voxel_size,
+            samples_per_ray=samples_per_ray, label_probe=label_probe,
+            x_offset=shard_idx * slab)
         tkey = jnp.where(found, t, jnp.inf)
         tmin = jax.lax.pmin(jax.lax.pmin(tkey, "model"), "data")
         win = found & (tkey == tmin)
@@ -231,9 +226,44 @@ def sharded_band_probe(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(TSDFState(vol_spec_x, vol_spec_x, vol_spec_x,
-                            vol_spec_x),),
+                            vol_spec_x), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P(), P()))
-    return fn(state)
+    return jax.jit(fn)
+
+
+def sharded_band_probe(state: TSDFState, spec: VolumeSpec, mesh: Mesh,
+                       rng_flat, pts_flat, valid_flat, *,
+                       samples_per_ray: int = 8,
+                       label_probe: bool = False):
+    """Truncation-band candidates from an X-SHARDED volume (the sharded-
+    volume CONSUMER, round 4 — VERDICT r3 #4).
+
+    ``integrate_sharded`` proved the reference's scale-out TODO
+    (fusion_lidar.py:45) for WRITES; this is the read side: each device
+    probes band samples only where they fall inside its own X-slab
+    (``ops.splat._band_samples`` on the local shard, ownership decided
+    by the GLOBAL voxel index + an exact integer slab offset — see
+    ``_band_samples``'s ``x_offset`` note), then the per-ray winner —
+    the globally smallest in-band sample depth — is merged with one
+    ``pmin`` and the winner's attributes with one ``psum`` over the mesh
+    (a sample's global index lives in exactly one slab, so the masked
+    sum is exact selection, no ties).
+    Collective traffic is O(candidates) — a few MB — never O(voxels):
+    compute rides where the volume lives; only candidate rows cross ICI.
+
+    Args are ``_band_samples``'s flat per-source arrays (replicated).
+    Returns the replicated merged candidate tuple
+    (pos (N,3), t (N,), tsdf (N,), label i32 (N,), rem (N,), found (N,)).
+    """
+    n_shards = mesh.shape["data"] * mesh.shape["model"]
+    X = spec.dims[0]
+    if X % n_shards:
+        raise ValueError(f"volume X dim {X} not divisible by {n_shards}")
+    fn = _band_probe_jit(
+        mesh, tuple(float(x) for x in np.asarray(spec.origin).reshape(-1)),
+        float(spec.voxel_size), tuple(int(d) for d in spec.dims),
+        int(samples_per_ray), bool(label_probe))
+    return fn(state, rng_flat, pts_flat, valid_flat)
 
 
 def splat_synthesize_sharded(state: TSDFState, spec: VolumeSpec,
@@ -255,25 +285,18 @@ def splat_synthesize_sharded(state: TSDFState, spec: VolumeSpec,
     ``sources``: list of (range_flat, points_flat (N,3), valid_flat) per
     fused source image (labels/rems come from the volume).
     """
-    from lidar_transfer_tpu.ops.splat import _target_assemble
+    from lidar_transfer_tpu.ops.splat import assemble_candidate_parts
 
     parts = [sharded_band_probe(state, spec, mesh, r, p, v,
                                 samples_per_ray=samples_per_ray,
                                 label_probe=label_probe)
              for (r, p, v) in sources]
-    pos = jnp.concatenate([a[0] for a in parts])
-    tsdf_v = jnp.concatenate([a[2] for a in parts])
-    label_v = jnp.concatenate([a[3] for a in parts])
-    rem_v = jnp.concatenate([a[4] for a in parts])
-    valid = jnp.concatenate([a[5] for a in parts])
-    if beam_angles is not None:
-        beam_angles = jnp.asarray(beam_angles, jnp.float32)
-    return _target_assemble(
-        pos, tsdf_v, label_v.astype(jnp.int32),
-        rem_v.astype(jnp.float32), valid,
-        jnp.asarray(fov_up_deg, jnp.float32),
-        jnp.asarray(fov_down_deg, jnp.float32), beam_angles,
-        H=target_H, W=target_W, beam_rows=beam_angles is not None,
+    # the SAME tail as ops.splat.splat_synthesize — shared so a change
+    # to the candidate columns cannot silently break the bit-identical
+    # parity between the sharded and single-device paths
+    return assemble_candidate_parts(
+        parts, fov_up_deg=fov_up_deg, fov_down_deg=fov_down_deg,
+        beam_angles=beam_angles, target_H=target_H, target_W=target_W,
         trunc=float(spec.trunc_margin))
 
 

@@ -280,9 +280,15 @@ class TransferEngine:
         set LT_INTERP_STREAM_BODY=fast to flip (re-probe each round —
         the remote compiler's lowering regimes move). Read at first
         transfer (the body choice is baked into the engine's jit
-        caches).
+        caches, so the value is LATCHED on first read — flipping the env
+        var mid-session must not desynchronize the routing predicates
+        from an already-compiled body).
         """
-        return os.environ.get("LT_INTERP_STREAM_BODY") == "fast"
+        latched = getattr(self, "_interp_body_fast_latched", None)
+        if latched is None:
+            latched = os.environ.get("LT_INTERP_STREAM_BODY") == "fast"
+            self._interp_body_fast_latched = latched
+        return latched
 
     @property
     def _mm_family_fast(self) -> bool:
@@ -499,6 +505,21 @@ class TransferEngine:
         chained integrates are provably unread too."""
         return (self.defer_volume and self.synthesis == "splat"
                 and self.mesh_attrs == "fold")
+
+    def _invalidate_stream(self) -> None:
+        """Forget any prior ``transfer_stream`` batch.
+
+        EVERY single-frame transfer entry calls this: the frame-indexed
+        lazy consumers (``fused_state(frame=…)``,
+        ``resynthesize_rolling_shutter(…, frame=…)``) must never resolve
+        into a SUPERSEDED stream's windows, and the no-frame ambiguity
+        guard must not fire after an unambiguous single-frame transfer
+        (round-4 review: the mesh fold path cleared only one of the two
+        markers and classic paths cleared neither — fused_state(frame=0)
+        could silently materialize a stale stream's volume).
+        """
+        self._stream_stash = None
+        self._stream_windows = None
 
     def _select_stream_frame(self, frame: int) -> None:
         """Point the lazy volume consumers at streamed frame ``frame``.
@@ -1021,6 +1042,7 @@ class TransferEngine:
             self._pending_fusion = (ri, self.target.fov_up,
                                     self.target.fov_down, origin, active)
             self._pending_window = None
+            self._invalidate_stream()
             self._fused = False
             self._last_origin = origin
             self._last_sources = ((ri, self.target.fov_up,
@@ -1053,6 +1075,7 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._pending_window = None
+        self._invalidate_stream()
         self._last_origin = origin      # actual fused-volume placement
         self._last_sources = ((ri, self.target.fov_up,
                                self.target.fov_down),)
@@ -1165,6 +1188,7 @@ class TransferEngine:
                 fn = jax.jit(self._cp_core_fast)
                 self._cp_jit_fast = fn
             rng, lbl, rem, ends, mask = fn(window)
+            self._invalidate_stream()
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
         if not (self._mm_family_fast and self.synthesis == "splat"
@@ -1185,8 +1209,7 @@ class TransferEngine:
         self._pending_fusion = None
         self._pending_window = window
         self._pending_mode = "mergemesh"
-        self._stream_stash = None
-        self._stream_windows = None
+        self._invalidate_stream()
         self._fused = False
         self._last_origin = origin
         return VirtualScan(range=rng, label=lbl, remission=rem,
@@ -1226,6 +1249,7 @@ class TransferEngine:
             rng, lbl, rem, ends, mask = fn(windows)
             self._pending_fusion = None
             self._pending_window = None
+            self._invalidate_stream()   # cp has no volume to select into
             self._fused = False
             return VirtualScan(range=rng, label=lbl, remission=rem,
                                points=ends, mask=mask, adaption="cp")
@@ -1410,7 +1434,7 @@ class TransferEngine:
             self._pending_window = window
             self._pending_mode = "mesh"
             self._pending_origin = (origin, active)
-            self._stream_stash = None
+            self._invalidate_stream()
             self._fused = False
             self._last_origin = origin
             vs = VirtualScan(range=rng, label=lbl, remission=rem,
@@ -1426,6 +1450,7 @@ class TransferEngine:
             self._fused = True
             self._pending_fusion = None
             self._pending_window = None
+            self._invalidate_stream()
             self._last_origin = origin
             self._last_sources = tuple(
                 (ri, self.source.fov_up, self.source.fov_down)
@@ -1448,6 +1473,7 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._pending_window = None
+        self._invalidate_stream()
         self._last_origin = origin
         self._last_sources = tuple(
             (ri, self.source.fov_up, self.source.fov_down) for ri in ris)
@@ -1518,6 +1544,7 @@ class TransferEngine:
         self._fused = True
         self._pending_fusion = None
         self._pending_window = None
+        self._invalidate_stream()
         self._last_origin = origin
         self._last_sources = ((ri, self.target.fov_up,
                                self.target.fov_down),)

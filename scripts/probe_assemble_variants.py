@@ -131,8 +131,12 @@ results = {}
 for name, fn in (("s_set", s_set_fn), ("s_uniq", s_uniq_fn)):
     def step(shift, fn=fn):
         w = fn(shift)
-        # derive the next shift from the output (cheap, keeps the chain)
-        return (w[0] & 0) + shift
+        # derive the next shift from the output (cheap, keeps the
+        # chain). min(w[0], 0) is 0 at runtime (w entries are winner
+        # indices >= 0 or IMAX) but NOT foldable — `w[0] & 0` was: the
+        # algebraic simplifier can rewrite and(x,0)->0 and DCE the
+        # whole scatter out of the timed loop (round-4 review)
+        return jnp.minimum(w[0], 0) + shift
 
     jfn = jax.jit(lambda s0, step=step: jax.lax.scan(
         lambda c, _: (step(c), 0.0), s0, None, length=IT)[0])

@@ -48,17 +48,26 @@ def test_sharded_integrate_matches_single(mesh8, rng):
                                np.asarray(ref.weight), atol=1e-6)
 
 
-def test_sharded_synthesis_matches_single(mesh8, rng):
+@pytest.mark.parametrize("voxel,dims", [(0.25, (64, 64, 16)),
+                                        (0.05, (320, 320, 80))])
+def test_sharded_synthesis_matches_single(mesh8, rng, voxel, dims):
     """The sharded-volume CONSUMER (round 4): synthesis from the
     X-sharded volume must equal the single-device volume-probe splat
     bit-for-bit — slab-local band gathers + one pmin/psum merge select
-    exactly the same candidates."""
+    exactly the same candidates.
+
+    voxel 0.05 (the headline operating point's size) is deliberately
+    NON-dyadic: slab ownership must come from the global voxel index +
+    an integer slab offset (ops/splat._band_samples x_offset) — a
+    per-shard f32 origin can double-claim or drop slab-boundary samples
+    exactly at sizes like this (round-4 review finding), which 0.25
+    (exact in f32) can never show."""
     from lidar_transfer_tpu.ops import raycast as RC
     from lidar_transfer_tpu.ops.splat import splat_synthesize
     from lidar_transfer_tpu.parallel import splat_synthesize_sharded
 
-    spec = TS.VolumeSpec(origin=(-8.0, -8.0, -2.0), voxel_size=0.25,
-                         dims=(64, 64, 16))
+    spec = TS.VolumeSpec(origin=(-8.0, -8.0, -2.0), voxel_size=voxel,
+                         dims=dims)
     H, W = 16, 64
     depth = (rng.random((H, W)) * 6 + 0.5).astype(np.float32)
     label = rng.choice(np.array([10, 40, 50], np.int32), size=(H, W))

@@ -169,8 +169,9 @@ def test_upsample_fast_and_stream_interpolate(synthetic_dataset,
     tolerance (chord endpoints are the original points vs the classic
     body's reverse-projected reconstructions). body="classic" is the
     default routing (measured faster on device — deform.py
-    _interp_body_fast) and must match transfer() exactly. Either way
-    the stream must equal transfer_fast exactly."""
+    _interp_body_fast) and must match transfer() EXACTLY (transfer_fast
+    runs the same classic deferred body). Either way the stream must
+    equal transfer_fast."""
     monkeypatch.setenv("LT_INTERP_STREAM_BODY", body)
     cfg = _cfg()
     seq = KittiSequence.open(synthetic_dataset)
@@ -179,13 +180,21 @@ def test_upsample_fast_and_stream_interpolate(synthetic_dataset,
     vs, _ = eng.transfer(win)
     vf = eng.transfer_fast(win)
     mc, mf = np.asarray(vs.mask), np.asarray(vf.mask)
-    assert (mc == mf).mean() > 0.99           # pixel-boundary flips only
-    assert abs(mc.mean() - mf.mean()) < 0.005  # same coverage
-    both = mc & mf
-    dr = np.abs(np.asarray(vs.range) - np.asarray(vf.range))[both]
-    assert (dr < 1e-4).mean() > 0.999
-    same = (np.asarray(vs.label) == np.asarray(vf.label))[both]
-    assert same.mean() > 0.999
+    if body == "classic":
+        # the default routing IS the classic body — bit-exact, pinning
+        # the pre-round-4 exact-equality contract of transfer_fast
+        for name in ("range", "label", "remission", "points", "mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(vs, name)),
+                np.asarray(getattr(vf, name)), err_msg=name)
+    else:
+        assert (mc == mf).mean() > 0.99        # pixel-boundary flips only
+        assert abs(mc.mean() - mf.mean()) < 0.005  # same coverage
+        both = mc & mf
+        dr = np.abs(np.asarray(vs.range) - np.asarray(vf.range))[both]
+        assert (dr < 1e-4).mean() > 0.999
+        same = (np.asarray(vs.label) == np.asarray(vf.label))[both]
+        assert same.mean() > 0.999
 
     from lidar_transfer_tpu.pipeline.multiscan import stack_windows
 
