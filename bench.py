@@ -444,7 +444,9 @@ def measure(args):
     vs = outs[-1]
     scans_per_sec = args.frames / dt
     log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
-        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized")
+        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized "
+        "[informational — the pipelined per-frame figure has no floor "
+        "campaign; the floor-pinned claim is the streamed headline]")
     record(scans_per_sec)
 
     # STREAMED throughput (the headline with --stream F): F frames per

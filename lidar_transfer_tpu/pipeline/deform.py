@@ -222,7 +222,16 @@ class TransferEngine:
                 span_s = (self.source.fov_up - self.source.fov_down
                           if self.cfg.adaption == "mesh"
                           else t.fov_up - t.fov_down)
-                src_pitch = span_s / self.source.H
+                # CONSERVATIVE row spacing span/(H-1), not span/H: a
+                # sensor whose beams span the fov inclusively (the
+                # synthetic fixture; many real specs) has the larger
+                # spacing, and the worst adjacent source-row gap in
+                # target rows is ceil of the ratio — m_v one short
+                # leaves a SYSTEMATIC empty target row every few gaps
+                # (16->64 skipped one row in every 5-row gap before
+                # this; identity pairs still gate off, H/(H-1) is
+                # within the 0.15 slack)
+                src_pitch = span_s / max(self.source.H - 1, 1)
             if ba is not None and len(ba) > 1:
                 # MEAN gap, not min: non-uniform identity targets have
                 # min gap < span/H and would spuriously activate
@@ -776,11 +785,13 @@ class TransferEngine:
         Engine selection (``engine="auto"``): on the single-fused-image
         splat path the surface points are known exactly, so rolling
         shutter is a moving-origin reprojection (``_rolling_splat_core``,
-        ~2 ms); materialized engines probe the volume band for the same
-        exact surface points and reproject (``_rolling_volume_core``,
-        <100 ms at reference scale — round 4, replacing the ~1.5 s
-        raymarcher fallback). ``engine="raymarch"`` forces the per-ray-
-        origin TSDF marcher (the general validation engine).
+        ~20 ms measured); materialized engines probe the volume band for
+        the same exact surface points and reproject
+        (``_rolling_volume_core``, 115 ms measured at reference scale —
+        round 4, 17x the ~1.9 s raymarcher fallback it replaces; median
+        range diff vs the splat oracle 0.008 m,
+        scripts/probe_rolling_shutter.py). ``engine="raymarch"`` forces
+        the per-ray-origin TSDF marcher (the general validation engine).
         """
         if engine not in ("auto", "raymarch"):
             raise ValueError(f"engine must be 'auto' or 'raymarch': "

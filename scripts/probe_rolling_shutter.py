@@ -89,22 +89,43 @@ log(f"SPLAT rolling: first {t_first:.2f}s (compile), warm "
     f"median |dr| vs static {np.median(dr):.3f} m")
 assert hit > 0.5 and lblfill > 0.999
 
-# --- raymarcher path (classic transfer -> per-ray-origin march)
+# --- volume-band path (round 4: classic transfer leaves no stashed
+# window, engine="auto" probes the fused volume's band for the surface
+# points and runs the shared moving-origin reprojection tail)
 vs, _ = eng.transfer(window)
 jax.block_until_ready(vs.range)
 t0 = time.perf_counter()
-rs_m = eng.resynthesize_rolling_shutter(pose_next)
+rs_v = eng.resynthesize_rolling_shutter(pose_next)
+jax.block_until_ready(rs_v.range)
+t_first = time.perf_counter() - t0
+t0 = time.perf_counter()
+for _ in range(5):
+    rs_v = eng.resynthesize_rolling_shutter(pose_next)
+jax.block_until_ready(rs_v.range)
+t_warm = (time.perf_counter() - t0) / 5
+hit_v = float(np.asarray(rs_v.mask).mean())
+both = np.asarray(rs_v.mask) & np.asarray(rs.mask)
+dr = np.abs(np.asarray(rs_v.range) - np.asarray(rs.range))[both]
+log(f"VOLUME-BAND rolling: first {t_first:.2f}s (compile), warm "
+    f"{t_warm*1e3:.1f} ms, hit rate {hit_v:.3f}, median |dr| vs splat "
+    f"{np.median(dr):.3f} m")
+assert hit_v > 0.5, f"rolling-shutter hit rate collapsed: {hit_v}"
+
+# --- raymarcher path (engine='raymarch': per-ray-origin TSDF march —
+# the general validation engine, kept for parity)
+t0 = time.perf_counter()
+rs_m = eng.resynthesize_rolling_shutter(pose_next, engine="raymarch")
 jax.block_until_ready(rs_m.range)
 t_first = time.perf_counter() - t0
 t0 = time.perf_counter()
-rs_m = eng.resynthesize_rolling_shutter(pose_next)
+rs_m = eng.resynthesize_rolling_shutter(pose_next, engine="raymarch")
 jax.block_until_ready(rs_m.range)
 t_warm = time.perf_counter() - t0
 hit_m = float(np.asarray(rs_m.mask).mean())
-both = np.asarray(rs_m.mask) & np.asarray(rs.mask)
-dr = np.abs(np.asarray(rs_m.range) - np.asarray(rs.range))[both]
+both = np.asarray(rs_m.mask) & np.asarray(rs_v.mask)
+dr = np.abs(np.asarray(rs_m.range) - np.asarray(rs_v.range))[both]
 log(f"RAYMARCH rolling: first {t_first:.2f}s (compile), warm "
-    f"{t_warm*1e3:.1f} ms, hit rate {hit_m:.3f}, median |dr| vs splat "
-    f"{np.median(dr):.3f} m")
+    f"{t_warm*1e3:.1f} ms, hit rate {hit_m:.3f}, median |dr| vs "
+    f"volume-band {np.median(dr):.3f} m")
 assert hit_m > 0.5, f"rolling-shutter hit rate collapsed: {hit_m}"
 print("OK")

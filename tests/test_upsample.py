@@ -287,7 +287,11 @@ def test_interp_gating_uses_projection_span(synthetic_dataset, small_spec):
     mesh = TransferEngine(small_spec, narrow,
                           _cfg(adaption="mesh", number_of_scans=2),
                           CAP, fixed_bounds=True)
-    assert mesh._interp_mv == 1
+    # source span 30deg / 15 gaps = 2deg over target rows 14/16 = 0.875:
+    # ratio 2.29, worst source-row gap = 3 target rows -> 2 interior
+    # samples (the conservative span/(H-1) spacing; was 1 with span/H,
+    # which systematically skipped a row in every 3-row gap)
+    assert mesh._interp_mv == 2
 
 
 def test_interp_bridges_snapped_beam_gaps(synthetic_dataset, small_spec):
@@ -330,3 +334,63 @@ def test_interp_bridges_snapped_beam_gaps(synthetic_dataset, small_spec):
     # rows covered only via the bridged chords exist
     gained = m.any(axis=1) & ~m1.any(axis=1)
     assert gained.any()
+
+
+def test_upsample_4x(synthetic_dataset, small_spec, scene):
+    """4x beam density (16 -> 64 beams, the VLP16 -> HDL64 shape): four
+    chord interior samples per source-row gap (_interp_mv == 4 — source
+    beams span the fov inclusively, so their target-row gaps alternate
+    4 and 5 rows and m_v must cover the worst one; span/H-based m_v=3
+    left one target row per 5-row gap SYSTEMATICALLY empty). Every
+    target row must fill and quality vs the synthetic ground-truth
+    64-beam scan must hold — chords subtend 4x the angle of the 2x
+    point, so thresholds are the measured honest values, slightly
+    looser than test_upsample_vertical_coverage_and_quality's."""
+    up4 = SensorSpec(name="up4", beams=small_spec.beams * 4,
+                     fov_up=small_spec.fov_up,
+                     fov_down=small_spec.fov_down,
+                     angle_res_hor=small_spec.angle_res_hor)
+    cfg = _cfg()
+    seq = KittiSequence.open(synthetic_dataset)
+    win = load_window(seq, cfg, 1, CAP)
+    eng = TransferEngine(small_spec, up4, cfg, CAP, fixed_bounds=True)
+    assert eng._interp_active and eng._interp_mv == 4
+    vs, _ = eng.transfer(win)
+    m = np.asarray(vs.mask)
+    assert m.any(axis=1).all()          # every interpolated row fills
+
+    from lidar_transfer_tpu.ops import projection as Pj
+    import jax.numpy as jnp
+
+    poses = synthetic.straight_line_poses(5, 1.5)
+    pts, rem, lab = synthetic.simulate_scan(scene, up4, poses[1])
+    n = pts.shape[0]
+    cap4 = 1 << int(np.ceil(np.log2(max(n, 1))))
+
+    def pad(a, fill=0):
+        out = np.full((cap4,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a
+        return out
+
+    ri_t = Pj.range_project(
+        jnp.asarray(pad(pts.astype(np.float32))),
+        jnp.asarray(pad(rem.astype(np.float32))),
+        jnp.asarray(pad(lab.astype(np.int32))),
+        jnp.asarray(pad(np.ones(n, bool))),
+        H=up4.H, W=up4.W, fov_up_deg=up4.fov_up,
+        fov_down_deg=up4.fov_down)
+    mt = np.asarray(ri_t.mask)
+    both = m & mt
+    recall = both.sum() / mt.sum()
+    label_acc = (np.asarray(vs.label)[both]
+                 == np.asarray(ri_t.label)[both]).mean()
+    range_mae = np.abs(np.asarray(vs.range)[both]
+                       - np.asarray(ri_t.range)[both]).mean()
+    false_hit = (m & ~mt).mean()
+    print(f"4x upsample: recall {recall:.3f} label_acc {label_acc:.3f} "
+          f"range_mae {range_mae:.3f} false_hit {false_hit:.4f}")
+    # measured: recall 0.826, label_acc 0.990, mae 0.062 m, false 0.002
+    assert recall > 0.78
+    assert label_acc > 0.97
+    assert range_mae < 0.2
+    assert false_hit < 0.005
