@@ -209,13 +209,22 @@ def remission_for(labels: np.ndarray, points: np.ndarray) -> np.ndarray:
 
 
 def simulate_scan(scene: Scene, spec: SensorSpec, pose: np.ndarray,
-                  drop_misses: bool = True, frame: float = 0.0
+                  drop_misses: bool = True, frame: float = 0.0,
+                  range_noise: float = 0.0, dropout: float = 0.0,
+                  seed: int = 0
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Simulate one scan at a world pose. -> (points(sensor frame) (N,3) f32,
     remissions (N,), labels (N,) i32).
 
     ``frame`` places the scene's movers at their positions for that
-    frame (``Scene.at_frame``); static scenes ignore it."""
+    frame (``Scene.at_frame``); static scenes ignore it.
+
+    Sensor-realism knobs (the "harder synthetic world" stand-in for the
+    missing real-data gate): ``range_noise`` adds per-return Gaussian
+    range error (sigma in meters; real spinning LiDARs sit around
+    0.02-0.03 m), ``dropout`` drops each return independently with that
+    probability (absorbing surfaces / outliers the driver filters).
+    Deterministic per ``seed``."""
     scene = scene.at_frame(frame)
     dirs_s = sensor_rays(spec)
     rot = pose[:3, :3]
@@ -224,6 +233,14 @@ def simulate_scan(scene: Scene, spec: SensorSpec, pose: np.ndarray,
     origins = np.broadcast_to(trans, dirs_w.shape)
     t, labels = raycast_scene(scene, origins, dirs_w)
     hit = np.isfinite(t)
+    if range_noise > 0.0 or dropout > 0.0:
+        nrng = np.random.default_rng(seed)
+        if range_noise > 0.0:
+            t = np.where(hit, t + nrng.normal(0.0, range_noise, t.shape),
+                         t)
+        if dropout > 0.0:
+            hit &= nrng.random(t.shape) >= dropout
+            t = np.where(hit, t, np.inf)
     if drop_misses:
         t, labels, dirs_s = t[hit], labels[hit], dirs_s[hit]
     else:
@@ -251,12 +268,15 @@ def straight_line_poses(n: int, step: float = 1.5) -> np.ndarray:
 
 def write_kitti_dataset(root: str, scene: Scene, spec: SensorSpec,
                         n_scans: int = 5, sequence: str = "00",
-                        step: float = 1.5) -> str:
+                        step: float = 1.5, range_noise: float = 0.0,
+                        dropout: float = 0.0) -> str:
     """Write a synthetic KITTI-format dataset tree (the minimal.zip stand-in).
 
     Layout: <root>/config.yaml + <root>/sequences/<seq>/{velodyne,labels,
     poses.txt, calib.txt}. Poses are written through an identity Tr calib so
-    parse_poses round-trips them.
+    parse_poses round-trips them. ``range_noise``/``dropout`` add sensor
+    realism per scan (``simulate_scan``; the per-frame seed varies so
+    noise is independent across scans).
     """
     seq_dir = os.path.join(root, "sequences", sequence)
     os.makedirs(os.path.join(seq_dir, "velodyne"), exist_ok=True)
@@ -276,7 +296,9 @@ def write_kitti_dataset(root: str, scene: Scene, spec: SensorSpec,
     kitti.write_poses(os.path.join(seq_dir, "poses.txt"), poses, calib)
 
     for i in range(n_scans):
-        points, rem, labels = simulate_scan(scene, spec, poses[i], frame=i)
+        points, rem, labels = simulate_scan(
+            scene, spec, poses[i], frame=i,
+            range_noise=range_noise, dropout=dropout, seed=1000 + i)
         kitti.write_scan_file(
             os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"), points, rem)
         kitti.write_label_file(
