@@ -23,6 +23,9 @@ Rows produced:
 Writes experiments_artifacts/workflow_upsample_r03/*.json.
 
 Usage: python scripts/run_upsample_workflow.py [--steps 300] [--cpu]
+       (2x, 32->64). The 4x VLP16->HDL64 shape:
+       python scripts/run_upsample_workflow.py --src-beams 16 \
+           --tgt-beams 64 --out experiments_artifacts/workflow_upsample4x_r04
 """
 
 import argparse
@@ -40,6 +43,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--src-beams", type=int, default=32)
+    ap.add_argument("--tgt-beams", type=int, default=64,
+                    help="target beam count (e.g. 64 for the 2x row, "
+                    "or --src-beams 16 --tgt-beams 64 for the 4x "
+                    "VLP16->HDL64 shape)")
     ap.add_argument("--bounds", type=float, default=80.0,
                     help="voxel half-extent (m). Must cover the scene: "
                     "the fake scans only contain in-volume returns, and "
@@ -69,20 +77,20 @@ def main():
         generate_fake_dataset)
 
     res_hor = 360.0 / args.width
-    spec32 = SensorSpec(name="syn32", beams=32, fov_up=5.0,
-                        fov_down=-24.0, angle_res_hor=res_hor)
-    spec64 = SensorSpec(name="syn64", beams=64, fov_up=5.0,
-                        fov_down=-24.0, angle_res_hor=res_hor)
+    spec32 = SensorSpec(name=f"syn{args.src_beams}", beams=args.src_beams,
+                        fov_up=5.0, fov_down=-24.0, angle_res_hor=res_hor)
+    spec64 = SensorSpec(name=f"syn{args.tgt_beams}", beams=args.tgt_beams,
+                        fov_up=5.0, fov_down=-24.0, angle_res_hor=res_hor)
     scene = synthetic.Scene.default()
 
     os.makedirs(args.work, exist_ok=True)
-    ds32 = os.path.join(args.work, "real32")
-    ds64 = os.path.join(args.work, "real64")
+    ds32 = os.path.join(args.work, f"real{args.src_beams}")
+    ds64 = os.path.join(args.work, f"real{args.tgt_beams}")
     synthetic.write_kitti_dataset(ds32, scene, spec32,
                                   n_scans=args.frames, step=1.0)
     synthetic.write_kitti_dataset(ds64, scene, spec64,
                                   n_scans=args.frames, step=1.0)
-    tgt_yaml = os.path.join(args.work, "target64.yaml")
+    tgt_yaml = os.path.join(args.work, f"target{args.tgt_beams}.yaml")
     with open(tgt_yaml, "w") as f:
         yaml.safe_dump(spec64.to_dict(), f)
 
@@ -91,15 +99,17 @@ def main():
         adaption="mergemesh", number_of_scans=1, voxel_size=0.1,
         voxel_bounds=((-b, b), (-b, b), (-4.0, 4.0)))
 
-    fake = generate_fake_dataset(ds32, os.path.join(args.work, "fake64"),
-                                 cfg, target_yaml=tgt_yaml)
+    fake = generate_fake_dataset(
+        ds32, os.path.join(args.work, f"fake{args.tgt_beams}"),
+        cfg, target_yaml=tgt_yaml)
 
     os.makedirs(args.out, exist_ok=True)
+    s, t = args.src_beams, args.tgt_beams
     rows = {}
     for name, train_ds, eval_ds in (
-            ("fake64_on_real64", fake, ds64),
-            ("real32_on_real64", ds32, ds64),
-            ("real64_on_fake64", ds64, fake)):
+            (f"fake{t}_on_real{t}", fake, ds64),
+            (f"real{s}_on_real{t}", ds32, ds64),
+            (f"real{t}_on_fake{t}", ds64, fake)):
         model, params, mapper, spec = train_segmentation(
             train_ds, steps=args.steps, batch_size=args.batch_size,
             cfg=cfg)
