@@ -90,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Export the fused surface mesh of each frame as "
                         "PLY into this directory (opt-in; the reference "
                         "unconditionally wrote test.ply per frame).")
+    p.add_argument("--html", type=str, default=None, metavar="OUT.html",
+                   help="Write a standalone interactive WebGL viewer of "
+                        "the first --html-frames transfers (linked "
+                        "source|virtual 3D views, image rows, label "
+                        "diff, IoU/Acc/MSE title; n/b/q/1/2/3 keys). "
+                        "Runs in any browser — the executable "
+                        "equivalent of the reference's LaserScanVis.")
+    p.add_argument("--html-frames", type=int, default=4,
+                   help="Frames embedded in --html (default 4).")
+    p.add_argument("--html-max-points", type=int, default=300_000,
+                   help="Per-cloud point cap embedded in --html.")
     p.add_argument("--profile", type=str, default=None,
                    help="Capture a jax profiler trace of the run into "
                         "this directory (view with TensorBoard). Replaces "
@@ -193,9 +204,9 @@ def main(argv=None) -> int:
     stream = args.stream
     if stream < 0:
         raise SystemExit(f"--stream must be >= 0, got {stream}")
-    if stream and (args.rolling_shutter or args.ply):
-        print("--stream disabled: --rolling-shutter/--ply need the "
-              "per-frame volume stash")
+    if stream and (args.rolling_shutter or args.ply or args.html):
+        print("--stream disabled: --rolling-shutter/--ply/--html need "
+              "the per-frame path")
         stream = 0
 
     # batched-SYNC metrics for the stream path: the per-frame loop's
@@ -307,6 +318,8 @@ def main(argv=None) -> int:
                 yield from flush()
         yield from flush()
 
+    html_frames: list = []
+
     # an exception mid-run must still finalize the trace, or the
     # profile directory is left unreadable (--profile try/finally)
     try:
@@ -357,6 +370,24 @@ def main(argv=None) -> int:
                     save_virtual_scan_pngs)
                 save_virtual_scan_pngs(out_path, idx, vs, cfg)
 
+            if (args.html and window is not None
+                    and len(html_frames) < args.html_frames):
+                from lidar_transfer_tpu.interactive import frame_payload
+
+                src_ri = P.range_project(
+                    window.points[0], window.remissions[0],
+                    window.labels[0], window.valid[0],
+                    H=source.H, W=source.W, fov_up_deg=source.fov_up,
+                    fov_down_deg=source.fov_down,
+                    beam_angles=eng.s_beam_angles)
+                val = np.asarray(window.valid[0])
+                html_frames.append((
+                    f"{args.sequence}_{idx:06d}",
+                    frame_payload(
+                        src_ri, cfg, virtual=vs,
+                        source_points=np.asarray(window.points[0])[val],
+                        source_labels=np.asarray(window.labels[0])[val])))
+
             if args.ply and cfg.adaption in ("mesh", "mergemesh"):
                 os.makedirs(args.ply, exist_ok=True)
                 from lidar_transfer_tpu.config import make_color_lut
@@ -382,6 +413,15 @@ def main(argv=None) -> int:
             jax.profiler.stop_trace()
             print(f"profiler trace in {profiler_ctx}")
 
+
+    if args.html and html_frames:
+        from lidar_transfer_tpu.webviewer import export_html
+        out = export_html(
+            html_frames, args.html,
+            title=f"{source.name} → {target.name} ({cfg.adaption})",
+            max_points=args.html_max_points)
+        print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
+              f"{len(html_frames)} frames)")
 
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:

@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interactive", action="store_true",
                    help="Open a vispy window instead of writing PNGs "
                         "(requires vispy + a display).")
+    p.add_argument("--html", type=str, default=None, metavar="OUT.html",
+                   help="Write a standalone interactive WebGL viewer "
+                        "(linked 3D views + image rows + n/b/q/1/2/3 "
+                        "keys) covering --frames scans; runs in any "
+                        "browser, no display/vispy needed.")
+    p.add_argument("--html-max-points", type=int, default=300_000,
+                   help="Per-cloud point cap embedded in --html.")
     return p
 
 
@@ -113,21 +120,20 @@ def bev_image(points, colors, radius: float, size: int = 700):
     return img
 
 
-def _run_interactive(args, cfg, spec, seq, pred_files, capacity, sba,
-                     show_label) -> int:
-    """lt-visualize --interactive: vispy viewer over the sequence.
+def _make_payload_loader(cfg, spec, seq, pred_files, capacity, sba,
+                         show_label):
+    """Shared frame loader for the vispy and HTML viewers.
 
-    ≡ the reference visualize.py:185-232 driving LaserScanVis — 3D
-    turntable cloud + 2D rows, b/n/q stepping; with --predictions the
-    predicted labels form the second row set and the diff canvas, and the
-    window title carries IoU/Acc (compare_scans on gt vs prediction).
+    ≡ the reference visualize.py:185-232 feeding LaserScanVis — range
+    projection + labels; with --predictions the predicted labels form
+    the second row set and the diff canvas, and the title carries
+    IoU/Acc (compare_scans on gt vs prediction).
     """
     import types
 
     import jax.numpy as jnp
 
     from lidar_transfer_tpu.datasets import kitti
-    from lidar_transfer_tpu.interactive import InteractiveViewer
     from lidar_transfer_tpu.ops import projection as P
 
     def load_payload(idx: int) -> dict:
@@ -166,10 +172,37 @@ def _run_interactive(args, cfg, spec, seq, pred_files, capacity, sba,
         return frame_payload(ri, cfg, virtual=virtual, source_points=pts,
                              source_labels=lbl if show_label else None)
 
+    return load_payload
+
+
+def _run_interactive(args, cfg, spec, seq, pred_files, capacity, sba,
+                     show_label) -> int:
+    """lt-visualize --interactive: vispy viewer over the sequence."""
+    from lidar_transfer_tpu.interactive import InteractiveViewer
+
+    load_payload = _make_payload_loader(cfg, spec, seq, pred_files,
+                                        capacity, sba, show_label)
     viewer = InteractiveViewer(len(seq), load_payload,
                                title=f"{spec.name} seq {args.sequence}",
                                start=args.offset)
     viewer.run()
+    return 0
+
+
+def _run_html(args, cfg, spec, seq, pred_files, capacity, sba, show_label,
+              n: int) -> int:
+    """lt-visualize --html: standalone WebGL viewer over --frames scans."""
+    from lidar_transfer_tpu.webviewer import export_html
+
+    load_payload = _make_payload_loader(cfg, spec, seq, pred_files,
+                                        capacity, sba, show_label)
+    frames = [(f"{args.sequence}_{args.offset + k:06d}",
+               load_payload(args.offset + k)) for k in range(n)]
+    out = export_html(frames, args.html,
+                      title=f"{spec.name} seq {args.sequence}",
+                      max_points=args.html_max_points)
+    print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
+          f"{len(frames)} frames)")
     return 0
 
 
@@ -229,6 +262,10 @@ def main(argv=None) -> int:
             return 2
         return _run_interactive(args, cfg, spec, seq, pred_files,
                                 capacity, sba, show_label)
+
+    if args.html:
+        return _run_html(args, cfg, spec, seq, pred_files, capacity, sba,
+                         show_label, n)
 
     os.makedirs(args.out, exist_ok=True)
     viridis = get_mpl_colormap("viridis")

@@ -1,0 +1,473 @@
+"""Self-contained interactive HTML viewer (WebGL, zero dependencies).
+
+The EXECUTABLE rebuild of the reference ``LaserScanVis``
+(auxiliary/laserscanvis.py:11-373). The vispy shell in ``interactive.py``
+is API-parity but can never run on this TPU image (no vispy, no display)
+— this module produces the same viewer as one standalone ``.html`` file
+that runs in any browser with no network access and no installed
+packages:
+
+  * two LINKED 3D turntable views, source | virtual cloud
+    (≡ laserscanvis.py camera link; shared azimuth/elevation/distance),
+    semantic point colors, drag-rotate / shift-drag-pan / wheel-zoom;
+  * 2D canvas rows under the 3D views: source range / remission / label
+    images, virtual rows and the label-diff row when a virtual scan
+    exists (≡ set_data/set_diff :209-278);
+  * the IoU/Acc/MSE metrics string in the HUD title
+    (≡ the diff-canvas window title :277-278);
+  * keyboard n / b / q and view modes 1 / 2 / 3
+    (≡ key_press :338-354), with the same clamping step semantics as
+    ``interactive.FrameStepper``.
+
+Everything is embedded: point clouds as base64 float32/uint8 buffers,
+images as data-URI PNGs (minimal stdlib zlib encoder below), the WebGL
+renderer as inline JS. The page exposes ``window.viewer`` (frameIndex /
+viewMode / key() / stats()) so the viewer itself is scriptable and
+testable from a headless browser.
+
+Input frames are ``interactive.frame_payload`` dicts — the single tested
+source of display truth shared with the vispy shell.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["export_html", "png_bytes", "reference_render", "DEFAULT_CAM"]
+
+#: the JS viewer's initial turntable camera (keep in sync with
+#: ``viewer.cam`` in the template below)
+DEFAULT_CAM = {"az": -0.8, "el": 0.45, "dist": 40.0,
+               "center": (0.0, 0.0, 0.0)}
+
+
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 -> PNG bytes (stdlib only, no PIL).
+
+    Filter type 0 on every row; fine for the small panel rows we embed.
+    """
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _data_uri(img: np.ndarray) -> str:
+    return ("data:image/png;base64,"
+            + base64.b64encode(png_bytes(img)).decode("ascii"))
+
+
+def _b64(arr: np.ndarray, dtype) -> str:
+    return base64.b64encode(
+        np.ascontiguousarray(arr, dtype).tobytes()).decode("ascii")
+
+
+def _cloud(points: np.ndarray, colors: np.ndarray,
+           max_points: int) -> dict | None:
+    """Pack one cloud: xyz float32 b64 + rgb uint8 b64 (colors in [0,1])."""
+    if points is None or len(points) == 0:
+        return None
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    col = np.asarray(colors).reshape(-1, 3)
+    if col.dtype != np.uint8:
+        col = (np.clip(col, 0.0, 1.0) * 255).astype(np.uint8)
+    if len(pts) > max_points:                       # uniform stride subsample
+        idx = np.linspace(0, len(pts) - 1, max_points).astype(np.int64)
+        pts, col = pts[idx], col[idx]
+    return {"n": int(len(pts)), "xyz": _b64(pts, np.float32),
+            "rgb": _b64(col, np.uint8)}
+
+
+def _frame_record(payload: dict, name: str, max_points: int) -> dict:
+    rows = [{"name": n, "png": _data_uri(img)} for n, img in payload["rows"]]
+    if payload.get("diff") is not None:
+        rows.append({"name": "diff", "png": _data_uri(payload["diff"])})
+    return {
+        "name": name,
+        "title": payload.get("title", ""),
+        "rows": rows,
+        "src": _cloud(payload.get("points_3d"),
+                      payload.get("colors_3d"), max_points),
+        "virt": _cloud(payload.get("virtual_points_3d"),
+                       payload.get("virtual_colors_3d"), max_points),
+    }
+
+
+def _js_json(obj) -> str:
+    """JSON for embedding in an inline <script>: a literal ``</script>``
+    inside any string would close the tag mid-payload, so escape ``</``
+    (``<\\/`` is a valid JSON escape and identical to JS)."""
+    return json.dumps(obj, separators=(",", ":")).replace("</", "<\\/")
+
+
+def export_html(frames: list[tuple[str, dict]], out_path: str, *,
+                title: str = "lidar-transfer-tpu",
+                max_points: int = 300_000) -> str:
+    """Write the standalone viewer HTML.
+
+    Args:
+      frames: [(frame_name, frame_payload_dict)] in display order.
+      out_path: destination ``.html`` file.
+      title: HUD title prefix.
+      max_points: per-cloud subsample cap (uniform stride) to bound
+        file size (131k points ≈ 2.6 MB embedded; the cap only bites
+        on multi-scan merged clouds).
+
+    Returns out_path.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    records = [_frame_record(p, n, max_points) for n, p in frames]
+    doc = (_HTML_TEMPLATE
+           .replace("__TITLE__", _js_json(title))
+           .replace("__FRAMES__", _js_json(records)))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(doc)
+    return out_path
+
+
+def reference_render(record: dict, *, width: int = 800, height: int = 500,
+                     cam: dict | None = None, which: str = "src",
+                     background=(10, 10, 15)) -> np.ndarray:
+    """Software oracle of the embedded WebGL pipeline -> (H, W, 3) uint8.
+
+    No JS runtime or browser exists in the TPU image, so the 3D view
+    cannot execute here; this renders one exported frame record with the
+    SAME math the inline JS runs — ``perspective(45°)`` + turntable
+    ``lookAt`` + point splat with a depth test (gl.DEPTH_TEST ≡ nearest
+    wins) — decoding the actual base64 buffers the browser would decode.
+    Tests pin this output, so the embedded data + camera math are
+    executed end-to-end; the only un-executed parts left are the WebGL
+    API calls themselves.
+
+    Args:
+      record: one frame dict from the exported FRAMES payload.
+      cam: {"az", "el", "dist", "center"}; defaults to DEFAULT_CAM.
+      which: "src" or "virt".
+    """
+    cloud = record[which]
+    if cloud is None:
+        raise ValueError(f"frame has no {which!r} cloud")
+    xyz = np.frombuffer(base64.b64decode(cloud["xyz"]),
+                        np.float32).reshape(-1, 3)
+    rgb = np.frombuffer(base64.b64decode(cloud["rgb"]),
+                        np.uint8).reshape(-1, 3)
+    c = dict(DEFAULT_CAM, **(cam or {}))
+    cx, cy, cz = c["center"]
+    eye = np.array([cx + c["dist"] * np.cos(c["el"]) * np.cos(c["az"]),
+                    cy + c["dist"] * np.cos(c["el"]) * np.sin(c["az"]),
+                    cz + c["dist"] * np.sin(c["el"])], np.float64)
+
+    # lookAt (≡ JS lookAt): camera basis
+    z = eye - np.array([cx, cy, cz])
+    z /= np.linalg.norm(z) or 1.0
+    up = np.array([0.0, 0.0, 1.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x) or 1.0
+    y = np.cross(z, x)
+    view = np.array([xyz @ x - x @ eye, xyz @ y - y @ eye,
+                     xyz @ z - z @ eye])                    # (3, N) eye space
+
+    # perspective (≡ JS perspective): fovy 45°, near 0.1, far 2000
+    f = 1.0 / np.tan(np.deg2rad(45.0) / 2)
+    near, far = 0.1, 2000.0
+    w_clip = -view[2]                                       # -z_eye
+    keep = w_clip > near
+    ndc_x = (f / (width / height)) * view[0] / w_clip
+    ndc_y = f * view[1] / w_clip
+    nf = 1.0 / (near - far)
+    ndc_z = ((far + near) * nf * view[2] + 2 * far * near * nf) / w_clip
+    keep &= (np.abs(ndc_x) <= 1) & (np.abs(ndc_y) <= 1) & (np.abs(ndc_z) <= 1)
+
+    px = ((ndc_x + 1) / 2 * (width - 1)).astype(np.int64)
+    py = ((1 - ndc_y) / 2 * (height - 1)).astype(np.int64)
+    img = np.empty((height, width, 3), np.uint8)
+    img[:] = np.asarray(background, np.uint8)
+    # depth test: sort FAR -> NEAR so the nearest point writes last
+    order = np.argsort(-w_clip[keep], kind="stable")
+    img[py[keep][order], px[keep][order]] = rgb[keep][order]
+    return img
+
+
+# The viewer page. No external resources — must work from file:// with
+# zero egress. Kept as one template string; the JS mirrors the semantics
+# of interactive.FrameStepper (clamped stepping, view modes) and the
+# reference's linked turntable cameras.
+_HTML_TEMPLATE = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>lidar-transfer-tpu viewer</title>
+<style>
+  html, body { margin: 0; background: #101014; color: #d8d8dc;
+               font: 13px/1.4 system-ui, sans-serif; }
+  #hud { padding: 6px 10px; background: #1a1a22; white-space: pre; }
+  #hud b { color: #8ecdf5; }
+  #gl { display: block; width: 100vw; height: 56vh; }
+  #rows { padding: 4px 10px 12px; }
+  .rowlabel { color: #9a9aa5; margin: 6px 0 1px; }
+  .row img { width: 100%; height: 44px; display: block;
+             image-rendering: pixelated; background: #000; }
+  #quit { display: none; position: fixed; inset: 0; background: #000d;
+          color: #fff; font-size: 22px; text-align: center;
+          padding-top: 20vh; }
+</style>
+</head>
+<body>
+<div id="hud"></div>
+<canvas id="gl"></canvas>
+<div id="rows"></div>
+<div id="quit">viewer stopped (q) — reload to restart</div>
+<script>
+"use strict";
+const TITLE = __TITLE__;
+const FRAMES = __FRAMES__;
+
+function b64To(b64, Type) {
+  const s = atob(b64), u = new Uint8Array(s.length);
+  for (let i = 0; i < s.length; i++) u[i] = s.charCodeAt(i);
+  return new Type(u.buffer);
+}
+
+// ---- tiny mat4 (column-major, WebGL convention) -------------------------
+function perspective(fovyDeg, aspect, near, far) {
+  const f = 1 / Math.tan(fovyDeg * Math.PI / 360);
+  const nf = 1 / (near - far);
+  return new Float32Array([f / aspect, 0, 0, 0,  0, f, 0, 0,
+    0, 0, (far + near) * nf, -1,  0, 0, 2 * far * near * nf, 0]);
+}
+function lookAt(eye, center, up) {
+  const sub = (a, b) => [a[0]-b[0], a[1]-b[1], a[2]-b[2]];
+  const cross = (a, b) => [a[1]*b[2]-a[2]*b[1], a[2]*b[0]-a[0]*b[2],
+                           a[0]*b[1]-a[1]*b[0]];
+  const norm = v => { const l = Math.hypot(v[0], v[1], v[2]) || 1;
+                      return [v[0]/l, v[1]/l, v[2]/l]; };
+  const z = norm(sub(eye, center));
+  const x = norm(cross(up, z));
+  const y = cross(z, x);
+  const dot = (a, b) => a[0]*b[0] + a[1]*b[1] + a[2]*b[2];
+  return new Float32Array([x[0], y[0], z[0], 0,  x[1], y[1], z[1], 0,
+    x[2], y[2], z[2], 0,  -dot(x, eye), -dot(y, eye), -dot(z, eye), 1]);
+}
+function mul4(a, b) {           // a*b, column-major
+  const o = new Float32Array(16);
+  for (let c = 0; c < 4; c++) for (let r = 0; r < 4; r++) {
+    let s = 0;
+    for (let k = 0; k < 4; k++) s += a[k * 4 + r] * b[c * 4 + k];
+    o[c * 4 + r] = s;
+  }
+  return o;
+}
+
+// ---- GL setup ------------------------------------------------------------
+const canvas = document.getElementById("gl");
+const gl = canvas.getContext("webgl", {antialias: false});
+let glOk = !!gl;
+let prog = null, loc = {};
+if (glOk) {
+  const vs = `attribute vec3 pos; attribute vec3 col; uniform mat4 mvp;
+    varying vec3 vcol;
+    void main() {
+      gl_Position = mvp * vec4(pos, 1.0);
+      gl_PointSize = clamp(160.0 / max(gl_Position.w, 1.0), 1.0, 5.0);
+      vcol = col;
+    }`;
+  const fs = `precision mediump float; varying vec3 vcol;
+    void main() { gl_FragColor = vec4(vcol, 1.0); }`;
+  function shader(type, src) {
+    const s = gl.createShader(type);
+    gl.shaderSource(s, src); gl.compileShader(s);
+    if (!gl.getShaderParameter(s, gl.COMPILE_STATUS))
+      throw new Error(gl.getShaderInfoLog(s));
+    return s;
+  }
+  prog = gl.createProgram();
+  gl.attachShader(prog, shader(gl.VERTEX_SHADER, vs));
+  gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, fs));
+  gl.linkProgram(prog);
+  if (!gl.getProgramParameter(prog, gl.LINK_STATUS))
+    throw new Error(gl.getProgramInfoLog(prog));
+  gl.useProgram(prog);
+  loc = {pos: gl.getAttribLocation(prog, "pos"),
+         col: gl.getAttribLocation(prog, "col"),
+         mvp: gl.getUniformLocation(prog, "mvp")};
+  gl.enable(gl.DEPTH_TEST);
+  gl.enable(gl.SCISSOR_TEST);
+}
+
+const bufCache = new Map();     // frameIdx -> {src:{pos,col,n}, virt:...}
+function buffersFor(idx) {
+  if (bufCache.has(idx)) return bufCache.get(idx);
+  const rec = FRAMES[idx], out = {};
+  for (const k of ["src", "virt"]) {
+    const c = rec[k];
+    if (!c) { out[k] = null; continue; }
+    const pos = gl.createBuffer();
+    gl.bindBuffer(gl.ARRAY_BUFFER, pos);
+    gl.bufferData(gl.ARRAY_BUFFER, b64To(c.xyz, Float32Array),
+                  gl.STATIC_DRAW);
+    const col = gl.createBuffer();
+    gl.bindBuffer(gl.ARRAY_BUFFER, col);
+    gl.bufferData(gl.ARRAY_BUFFER, b64To(c.rgb, Uint8Array),
+                  gl.STATIC_DRAW);
+    out[k] = {pos, col, n: c.n};
+  }
+  bufCache.set(idx, out);
+  return out;
+}
+
+// ---- viewer state (≡ interactive.FrameStepper semantics) ------------------
+const viewer = {
+  frameIndex: 0,
+  viewMode: 3,                 // 1 src only, 2 virt only, 3 both
+  running: true,
+  drawnFrames: 0,
+  cam: {az: -0.8, el: 0.45, dist: 40.0, cx: 0, cy: 0, cz: 0},
+  glOk: glOk,
+  key(k) {                     // ≡ KEY_ACTIONS + clamped apply()
+    k = String(k).toLowerCase();
+    if (k === "n") this.frameIndex = Math.min(this.frameIndex + 1,
+                                              FRAMES.length - 1);
+    else if (k === "b") this.frameIndex = Math.max(this.frameIndex - 1, 0);
+    else if (k === "q") { this.running = false;
+      document.getElementById("quit").style.display = "block"; }
+    else if (k === "1" || k === "2" || k === "3") this.viewMode = +k;
+    else return null;
+    refresh2d();
+    return k;
+  },
+  stats() {
+    const r = FRAMES[this.frameIndex];
+    return {frames: FRAMES.length, frameIndex: this.frameIndex,
+            viewMode: this.viewMode, rows: r.rows.length,
+            srcPoints: r.src ? r.src.n : 0,
+            virtPoints: r.virt ? r.virt.n : 0,
+            title: r.title, drawnFrames: this.drawnFrames, glOk: this.glOk};
+  },
+};
+window.viewer = viewer;
+
+// ---- 2D rows + HUD ---------------------------------------------------------
+function refresh2d() {
+  const rec = FRAMES[viewer.frameIndex];
+  const hud = document.getElementById("hud");
+  hud.innerHTML = "<b>" + TITLE + "</b>  frame " +
+    (viewer.frameIndex + 1) + "/" + FRAMES.length +
+    "  [" + rec.name + "]  view " + viewer.viewMode +
+    (rec.title ? "   " + rec.title : "") +
+    "   keys: n/b frame, 1/2/3 view, q quit — drag rotate, " +
+    "shift-drag pan, wheel zoom";
+  const rows = document.getElementById("rows");
+  rows.innerHTML = "";
+  for (const r of rec.rows) {
+    const lab = document.createElement("div");
+    lab.className = "rowlabel"; lab.textContent = r.name;
+    const div = document.createElement("div");
+    div.className = "row";
+    const img = document.createElement("img");
+    img.src = r.png;
+    div.appendChild(img);
+    rows.appendChild(lab); rows.appendChild(div);
+  }
+}
+
+// ---- render loop -----------------------------------------------------------
+function drawCloud(b, mvp) {
+  gl.uniformMatrix4fv(loc.mvp, false, mvp);
+  gl.bindBuffer(gl.ARRAY_BUFFER, b.pos);
+  gl.enableVertexAttribArray(loc.pos);
+  gl.vertexAttribPointer(loc.pos, 3, gl.FLOAT, false, 0, 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, b.col);
+  gl.enableVertexAttribArray(loc.col);
+  gl.vertexAttribPointer(loc.col, 3, gl.UNSIGNED_BYTE, true, 0, 0);
+  gl.drawArrays(gl.POINTS, 0, b.n);
+}
+
+function render() {
+  if (!viewer.running || !glOk) return;
+  const W = canvas.clientWidth, H = canvas.clientHeight;
+  if (canvas.width !== W || canvas.height !== H) {
+    canvas.width = W; canvas.height = H;
+  }
+  const bufs = buffersFor(viewer.frameIndex);
+  const c = viewer.cam;
+  const eye = [c.cx + c.dist * Math.cos(c.el) * Math.cos(c.az),
+               c.cy + c.dist * Math.cos(c.el) * Math.sin(c.az),
+               c.cz + c.dist * Math.sin(c.el)];
+  const view = lookAt(eye, [c.cx, c.cy, c.cz], [0, 0, 1]);
+  // panes: mode 3 splits when a virtual cloud exists; else one pane
+  const both = viewer.viewMode === 3 && bufs.virt;
+  const panes = [];
+  if (both) {
+    panes.push({b: bufs.src, x: 0, w: W >> 1});
+    panes.push({b: bufs.virt, x: W >> 1, w: W - (W >> 1)});
+  } else {
+    const b = (viewer.viewMode === 2 && bufs.virt) ? bufs.virt : bufs.src;
+    if (b) panes.push({b, x: 0, w: W});
+  }
+  gl.viewport(0, 0, W, H); gl.scissor(0, 0, W, H);
+  gl.clearColor(0.04, 0.04, 0.06, 1);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  for (const p of panes) {
+    gl.viewport(p.x, 0, p.w, H);
+    gl.scissor(p.x, 0, p.w, H);
+    const proj = perspective(45, p.w / Math.max(H, 1), 0.1, 2000);
+    drawCloud(p.b, mul4(proj, view));
+  }
+  viewer.drawnFrames++;
+  requestAnimationFrame(render);
+}
+
+// ---- input -----------------------------------------------------------------
+window.addEventListener("keydown", e => viewer.key(e.key));
+let drag = null;
+canvas.addEventListener("mousedown", e => {
+  drag = {x: e.clientX, y: e.clientY, pan: e.shiftKey || e.button === 2};
+});
+window.addEventListener("mouseup", () => { drag = null; });
+window.addEventListener("mousemove", e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  const c = viewer.cam;
+  if (drag.pan) {               // pan in the camera's ground plane
+    const s = c.dist * 0.002;
+    c.cx += s * (Math.sin(c.az) * dx + Math.cos(c.az) * dy);
+    c.cy += s * (-Math.cos(c.az) * dx + Math.sin(c.az) * dy);
+  } else {                      // turntable rotate (linked across panes)
+    c.az -= dx * 0.008;
+    c.el = Math.min(1.55, Math.max(-1.55, c.el + dy * 0.008));
+  }
+});
+canvas.addEventListener("wheel", e => {
+  e.preventDefault();
+  viewer.cam.dist = Math.min(600, Math.max(
+    2, viewer.cam.dist * Math.exp(e.deltaY * 0.0012)));
+}, {passive: false});
+canvas.addEventListener("contextmenu", e => e.preventDefault());
+
+refresh2d();
+if (glOk) requestAnimationFrame(render);
+else document.getElementById("hud").textContent =
+  "WebGL unavailable — 2D rows only. " + TITLE;
+</script>
+</body>
+</html>
+"""
