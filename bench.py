@@ -430,24 +430,47 @@ def measure(args):
     outs = [run_frame(window) for _ in range(qf)]
     sync(outs[-1].range)
     record(qf / (time.perf_counter() - t0))
-
-    # THROUGHPUT: stream frames asynchronously — issue all, sync once.
-    # JAX dispatch is async, so the tunnel round-trip overlaps with device
-    # execution exactly as a production pipeline over a scan stream would;
-    # device work is serialized either way.
-    set_phase("pipelined throughput")
-    rays = target.H * target.W
-    t0 = time.perf_counter()
-    outs = [run_frame(window) for _ in range(args.frames)]
-    sync(outs[-1].range)
-    dt = time.perf_counter() - t0
     vs = outs[-1]
-    scans_per_sec = args.frames / dt
-    log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} scans/s "
-        f"(pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s synthesized "
-        "[informational — the pipelined per-frame figure has no floor "
-        "campaign; the floor-pinned claim is the streamed headline]")
-    record(scans_per_sec)
+    rays = target.H * target.W
+
+    # semantic sanity: on THIS bench's synthetic world every source
+    # point carries a label > 0, so every hit pixel must too — catches
+    # TPU-only data corruption the CPU tests can't (e.g. subnormal-flush
+    # of bitcast label bits). NOTE: band membership itself is geometric
+    # (label-0 surfaces are legitimately opaque since the round-3
+    # alignment, ops/splat.py); a future bench fed real scans with
+    # unlabeled points must drop or rescale this canary.
+    # Recorded in the JSON (and echoed); never blocks the number.
+    def canary(tag, out):
+        hitm = np.asarray(out.mask)
+        hit = float(hitm.mean())
+        if tag == "pipelined":
+            log(f"hit rate {hit:.3f}")
+            result["hit_rate"] = round(hit, 4)
+        if not hitm.any():
+            # an all-miss output is the MOST broken case — never let it
+            # pass as a clean sample (pin_floor trusts these fields)
+            log(f"{tag} output has ZERO hits — marking degraded")
+            result["label_fill"] = 0.0
+            result["degraded"] = True
+            result["note"] = f"{tag} transfer output has no hit pixels"
+            return
+        lbl_fill = float((np.asarray(out.label)[hitm] > 0).mean())
+        log(f"label fill over hit pixels ({tag}): {lbl_fill:.4f}")
+        result["label_fill"] = min(result.get("label_fill", 1.0),
+                                   round(lbl_fill, 4))
+        if lbl_fill <= 0.999:
+            result["degraded"] = True
+            result["note"] = (f"labels lost on device in the {tag} "
+                              "program (see splat.py subnormal note)")
+
+    # canary the pipelined output NOW: the streamed phase below pays a
+    # separate remote compile (minutes on a sick tunnel) and a child
+    # killed at budget must still carry the corruption-canary fields in
+    # its reconstructed partial JSON
+    set_phase("hit-rate + label-fill check (pipelined)")
+    canary("pipelined", vs)
+    emit_partial()
 
     # STREAMED throughput (the headline with --stream F): F frames per
     # device program via TransferEngine.transfer_stream — after the
@@ -486,7 +509,15 @@ def measure(args):
 
     stream_last = {}
 
-    if args.stream > 0 and remaining() > 60:
+    # The STREAMED headline runs BEFORE the long pipelined loop: it is
+    # the floor-pinned claim, and on a sick tunnel the warmup eats most
+    # of the budget — round 4's upsample re-pin drew 89/97 scans/s in
+    # 2/8 fresh samples purely because the streamed phase was skipped at
+    # remaining()<=60 and the lower pipelined per-frame figure became
+    # the headline. Attempting it on a thin budget is safe: the
+    # pipelined number + canary fields are already emitted as partials,
+    # so a child killed mid-compile still reconstructs a full JSON.
+    if args.stream > 0 and remaining() > 30:
         streamed_phase(args.stream)
         # the measured batch curve keeps climbing toward the device
         # floor (16/32/64/128 -> 333/389/417/440 scans/s, docs/PERF.md);
@@ -496,44 +527,27 @@ def measure(args):
     elif args.stream > 0:
         log("skipping streamed phase (budget)")
 
-    # semantic sanity: on THIS bench's synthetic world every source
-    # point carries a label > 0, so every hit pixel must too — catches
-    # TPU-only data corruption the CPU tests can't (e.g. subnormal-flush
-    # of bitcast label bits). NOTE: band membership itself is geometric
-    # (label-0 surfaces are legitimately opaque since the round-3
-    # alignment, ops/splat.py); a future bench fed real scans with
-    # unlabeled points must drop or rescale this canary.
-    # Recorded in the JSON (and echoed); never blocks the number.
-    set_phase("hit-rate + label-fill check")
-    checks = [("pipelined", vs)]
     if "vs" in stream_last:
-        checks.append(("streamed", stream_last["vs"]))
-    label_ok = True
-    for tag, out in checks:
-        hitm = np.asarray(out.mask)
-        hit = float(hitm.mean())
-        if tag == "pipelined":
-            log(f"hit rate {hit:.3f}")
-            result["hit_rate"] = round(hit, 4)
-        if not hitm.any():
-            # an all-miss output is the MOST broken case — never let it
-            # pass as a clean sample (pin_floor trusts these fields)
-            log(f"{tag} output has ZERO hits — marking degraded")
-            result["label_fill"] = 0.0
-            result["degraded"] = True
-            result["note"] = f"{tag} transfer output has no hit pixels"
-            label_ok = False
-            continue
-        lbl_fill = float((np.asarray(out.label)[hitm] > 0).mean())
-        log(f"label fill over hit pixels ({tag}): {lbl_fill:.4f}")
-        result["label_fill"] = min(result.get("label_fill", 1.0),
-                                   round(lbl_fill, 4))
-        if lbl_fill <= 0.999:
-            result["degraded"] = True
-            result["note"] = (f"labels lost on device in the {tag} "
-                              "program (see splat.py subnormal note)")
-            label_ok = False
-    emit_partial()   # partials must carry the corruption canary fields
+        set_phase("hit-rate + label-fill check (streamed)")
+        canary("streamed", stream_last["vs"])
+        emit_partial()
+
+    # full pipelined loop — informational (no floor campaign of its own);
+    # cheap once transfer_fast is compiled, so it follows the headline
+    if remaining() > 20:
+        set_phase("pipelined throughput")
+        t0 = time.perf_counter()
+        outs = [run_frame(window) for _ in range(args.frames)]
+        sync(outs[-1].range)
+        dt = time.perf_counter() - t0
+        vs = outs[-1]
+        scans_per_sec = args.frames / dt
+        log(f"{args.frames} frames in {dt:.2f}s -> {scans_per_sec:.2f} "
+            f"scans/s (pipelined), {scans_per_sec*rays/1e6:.1f} Mrays/s "
+            "synthesized [informational — the pipelined per-frame figure "
+            "has no floor campaign; the floor-pinned claim is the "
+            "streamed headline]")
+        record(scans_per_sec)
 
     # single-frame LATENCY: block after every frame (pays the tunnel's
     # per-dispatch round-trip in full — ~30 ms through the remote runtime
