@@ -333,7 +333,8 @@ def main(argv=None) -> int:
                 print("MSE: ", pre["mse"])
                 frame_metrics.update(iou=pre["iou"], acc=pre["acc"],
                                      mse=pre["mse"])
-            elif same_dims:
+            src = None
+            if pre is None and same_dims:
                 # source reference scan (≡ lidar_deform.py:403-409) —
                 # from the prefetched window's primary slot (raw points
                 # + ignore-masked valid), not a second disk read
@@ -374,7 +375,9 @@ def main(argv=None) -> int:
                     and len(html_frames) < args.html_frames):
                 from lidar_transfer_tpu.interactive import frame_payload
 
-                src_ri = P.range_project(
+                # reuse the metrics branch's source projection when it
+                # already ran (identity dims) — it is the same image
+                src_ri = src if src is not None else P.range_project(
                     window.points[0], window.remissions[0],
                     window.labels[0], window.valid[0],
                     H=source.H, W=source.W, fov_up_deg=source.fov_up,

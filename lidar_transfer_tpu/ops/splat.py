@@ -300,7 +300,7 @@ def _band_samples_fold(rng_s, pts_s, valid_s, label_s, rem_s,
                      "label_probe"))
 def _band_samples(tsdf, label, rem, rng_flat, pts_flat, valid_flat,
                   vol_origin, active_dims, dims, voxel_size,
-                  samples_per_ray, label_probe=True, x_offset=None):
+                  samples_per_ray, label_probe=False, x_offset=None):
     """Per source pixel: K positions through the band + volume attributes.
 
     Returns flat arrays of length K * HW: positions (N,3), depth (N,),
@@ -533,7 +533,7 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
                      fov_up_deg: float, fov_down_deg: float,
                      vol_origin, active_dims=None, beam_angles=None,
                      samples_per_ray: int = 8, attrs: str = "auto",
-                     label_probe: bool = True, interp=None,
+                     label_probe: bool = False, interp=None,
                      interp_sources=None):
     """Synthesize a target-spec virtual scan from the fused volume.
 
@@ -555,12 +555,18 @@ def splat_synthesize(state: TSDFState, spec: VolumeSpec, sources, *,
         must be requested EXPLICITLY because its shared-grid
         precondition cannot be checked here — off-grid sources would
         fold against the wrong pixels silently.
-      label_probe: volume path only — see ``_band_samples`` (False =
-        raymarcher label-0 semantics, drops the K-sample label gather).
-      interp: None, or (H, W, m_v, m_u, tan_min) — source-image dims,
-        the interior interpolation counts, and the connectivity angle
-        tangent for UPSAMPLING targets (see ``_interp_candidates``;
-        requires flat arrays in (H, W) row-major image order).
+      label_probe: volume path only — see ``_band_samples`` (the False
+        default = raymarcher label-0 semantics, drops the K-sample
+        label gather; matches the engine's ``band_label_probe`` and the
+        sharded twin ``parallel.sharding.splat_synthesize_sharded``).
+      interp: None, or (H, W, m_v, m_u, tan_min[, v_span]) — source-
+        image dims, the interior interpolation counts, the connectivity
+        angle tangent for UPSAMPLING targets, and optionally the
+        occupied-row gap ``v_span`` chords may bridge (defaults to 1 =
+        adjacent rows; the engine passes ``_interp_vspan`` for snapped
+        beam tables with empty interleaved rows — see
+        ``_interp_candidates``; requires flat arrays in (H, W)
+        row-major image order).
       interp_sources: optional list of image-ORDERED source tuples to
         feed ``_interp_candidates`` when ``sources`` itself is not in
         image order (the z-buffer-ordered fast body densifies its

@@ -138,7 +138,9 @@ def export_html(frames: list[tuple[str, dict]], out_path: str, *,
            .replace("__TITLE__", _js_json(title))
            .replace("__FRAMES__", _js_json(records)))
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with open(out_path, "w") as f:
+    # explicit utf-8: the page declares charset=utf-8 and titles carry
+    # non-ASCII (→, —); the locale default would crash or mojibake
+    with open(out_path, "w", encoding="utf-8") as f:
         f.write(doc)
     return out_path
 
@@ -196,13 +198,15 @@ def reference_render(record: dict, *, width: int = 800, height: int = 500,
     ndc_z = ((far + near) * nf * view[2] + 2 * far * near * nf) / w_clip
     keep &= (np.abs(ndc_x) <= 1) & (np.abs(ndc_y) <= 1) & (np.abs(ndc_z) <= 1)
 
-    px = ((ndc_x + 1) / 2 * (width - 1)).astype(np.int64)
-    py = ((1 - ndc_y) / 2 * (height - 1)).astype(np.int64)
+    # mask BEFORE the int cast: points at/behind the near plane give
+    # inf/NaN ndc whose int64 conversion is platform-defined garbage
+    px = ((ndc_x[keep] + 1) / 2 * (width - 1)).astype(np.int64)
+    py = ((1 - ndc_y[keep]) / 2 * (height - 1)).astype(np.int64)
     img = np.empty((height, width, 3), np.uint8)
     img[:] = np.asarray(background, np.uint8)
     # depth test: sort FAR -> NEAR so the nearest point writes last
     order = np.argsort(-w_clip[keep], kind="stable")
-    img[py[keep][order], px[keep][order]] = rgb[keep][order]
+    img[py[order], px[order]] = rgb[keep][order]
     return img
 
 
@@ -368,12 +372,18 @@ window.viewer = viewer;
 function refresh2d() {
   const rec = FRAMES[viewer.frameIndex];
   const hud = document.getElementById("hud");
-  hud.innerHTML = "<b>" + TITLE + "</b>  frame " +
-    (viewer.frameIndex + 1) + "/" + FRAMES.length +
+  // TITLE / rec.name / rec.title come from user data (sensor names,
+  // dataset ids): build the HUD with textContent, never innerHTML
+  hud.textContent = "";
+  const b = document.createElement("b");
+  b.textContent = TITLE;
+  hud.appendChild(b);
+  hud.appendChild(document.createTextNode(
+    "  frame " + (viewer.frameIndex + 1) + "/" + FRAMES.length +
     "  [" + rec.name + "]  view " + viewer.viewMode +
     (rec.title ? "   " + rec.title : "") +
     "   keys: n/b frame, 1/2/3 view, q quit — drag rotate, " +
-    "shift-drag pan, wheel zoom";
+    "shift-drag pan, wheel zoom"));
   const rows = document.getElementById("rows");
   rows.innerHTML = "";
   for (const r of rec.rows) {

@@ -154,7 +154,12 @@ for name, fn in (("g_row8", g_row8), ("g_row4", g_row4),
                  ("g_col", g_col)):
     def step(w, fn=fn):
         img = fn(w)
-        bump = (img[:, 0] == jnp.inf).astype(jnp.int32)  # all-zero
+        # consume EVERY column: deriving bump from img[:, 0] alone let
+        # the algebraic simplifier narrow slice(gather) to a 1-column
+        # gather (and DCE 7 of g_col's 8 gathers), so all variants
+        # timed the same narrowed op (round-4 review). The row-sum is
+        # finite, so bump stays all-zero at runtime but unfoldable.
+        bump = (img.sum(axis=1) == jnp.inf).astype(jnp.int32)
         return w + bump
 
     jfn = jax.jit(lambda w, step=step: jax.lax.scan(

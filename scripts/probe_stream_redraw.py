@@ -95,8 +95,9 @@ def sample(args):
         print(f"# F={F}: {ms:.2f} ms/frame "
               f"({rows[-1]['scans_per_sec']} scans/s), "
               f"compile {compile_s:.0f}s", flush=True)
-        # jit caches by shape: drop the cached callable so the NEXT F
-        # also compiles fresh even if shapes repeat across probe runs
+        # jit caches by shape: a repeated F would silently reuse this
+        # compile and fake an "independent draw" — drop the callable
+        eng._mm_jit_stream = None
     print("SAMPLE " + json.dumps({"rows": rows}), flush=True)
 
 
