@@ -353,8 +353,15 @@ def measure(args):
                    f"{target.H}x{target.W}, {args.adaption}, "
                    f"voxel {args.voxel}m, bounds +-{args.bounds:g}m, "
                    f"nscans {args.nscans}")
+    # Provenance fields (VERDICT r4 weak #1): floor campaigns pin the
+    # STREAMED figure; a budget-skipped streamed phase must be machine-
+    # detectable, not inferred from the metric label.  headline_phase
+    # names the phase whose measurement is the reported value;
+    # streamed_measured says whether ANY streamed phase completed.
     result = {"metric": metric_name + ")", "value": 0.0,
-              "unit": "scans/sec", "vs_baseline": 0.0}
+              "unit": "scans/sec", "vs_baseline": 0.0,
+              "streamed_measured": False,
+              "headline_phase": "none"}
 
     def emit_partial():
         # the supervisor keeps the LAST partial: re-emit after every field
@@ -362,11 +369,32 @@ def measure(args):
         # hit_rate / label_fill / sync_latency_ms, not just the number
         print("RESULT " + json.dumps(result), flush=True)
 
-    def record(sps, note=""):
-        if sps > result["value"]:
+    def record(sps, note="", phase="pipelined"):
+        # The headline of a stream-enabled point IS the streamed figure
+        # (the floor-pinned claim): the FIRST streamed measurement
+        # replaces any provisional pipelined value even downward, and
+        # later pipelined figures go to a side field instead of the
+        # headline (tiny CPU shapes can pipeline faster than they
+        # stream, which round 4 proved can silently swap the claim).
+        streamed = phase.startswith("stream")
+        have_streamed = result["headline_phase"].startswith("stream")
+
+        def set_headline():
             result["value"] = round(sps, 2)
             result["vs_baseline"] = round(sps / 50.0, 3)
             result["metric"] = metric_name + note + ")"
+            result["headline_phase"] = phase
+
+        if streamed:
+            result["streamed_measured"] = True
+            if not have_streamed or sps > result["value"]:
+                set_headline()
+        elif have_streamed:
+            result["pipelined_scans_per_sec"] = max(
+                result.get("pipelined_scans_per_sec", 0.0),
+                round(sps, 2))
+        elif sps > result["value"]:
+            set_headline()
         emit_partial()
 
     set_phase("build inputs")
@@ -429,7 +457,7 @@ def measure(args):
     t0 = time.perf_counter()
     outs = [run_frame(window) for _ in range(qf)]
     sync(outs[-1].range)
-    record(qf / (time.perf_counter() - t0))
+    record(qf / (time.perf_counter() - t0), phase="pipelined-quick")
     vs = outs[-1]
     rays = target.H * target.W
 
@@ -500,7 +528,7 @@ def measure(args):
         log(f"{n_batches}x{F} streamed frames in {s_dt:.2f}s -> "
             f"{s_sps:.2f} scans/s, "
             f"{s_sps*rays/1e6:.1f} Mrays/s synthesized")
-        record(s_sps, note=f", stream {F}")
+        record(s_sps, note=f", stream {F}", phase=f"stream {F}")
         # last frame of the last batch, for the canary below: the
         # stream scan body is a DIFFERENT compiled program than
         # transfer_fast, and the remote compiler's lowering is
@@ -547,7 +575,7 @@ def measure(args):
             "synthesized [informational — the pipelined per-frame figure "
             "has no floor campaign; the floor-pinned claim is the "
             "streamed headline]")
-        record(scans_per_sec)
+        record(scans_per_sec, phase="pipelined")
 
     # single-frame LATENCY: block after every frame (pays the tunnel's
     # per-dispatch round-trip in full — ~30 ms through the remote runtime
@@ -652,6 +680,19 @@ def measure(args):
         log("skipping fusion phase (budget/--quick)")
 
     set_phase("done")
+    if args.stream > 0 and not result["streamed_measured"]:
+        # VERDICT r4 weak #1: round 4's upsample re-pin recorded 65-69
+        # scans/s clean=true samples whose streamed phase was budget-
+        # skipped — the pipelined fallback must never pass as the
+        # floor-pinned headline.  A stream-enabled point that never ran
+        # its streamed phase is a degraded measurement BY DEFINITION.
+        result["degraded"] = True
+        result["note"] = (result.get("note", "") + " | " if
+                          result.get("note") else "") + (
+            "streamed phase skipped (budget) — value is the pipelined "
+            "fallback, NOT the floor-pinned streamed headline")
+        log("marking degraded: streamed phase never ran on a "
+            "stream-enabled point")
     print(json.dumps(result), flush=True)
     return 0
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Pin the worst-compile-regime throughput floor (VERDICT r2 #2).
+"""Pin the worst-compile-regime throughput floor (VERDICT r2 #2, r4 #1/#8).
 
 The remote TPU compiler in this environment is nondeterministic about
 lowering (the same HLO can get scalar vs vectorized gathers between
@@ -11,6 +11,18 @@ This harness samples that distribution: N bench.py runs, each with a
 FRESH local persistent-cache dir (forcing remote compiles and thus fresh
 lowering draws), recording each run's headline JSON. Output:
 min / median / max + all samples, written to the given JSON path.
+
+Sample integrity (VERDICT r4 weak #1): a sample is CLEAN only when its
+value came from the STREAMED phase — bench.py emits ``headline_phase``
+and ``streamed_measured``; a budget-skipped streamed phase (pipelined
+fallback) is rejected with skip_cause="not-streamed".  Pass
+--allow-pipelined only for points that deliberately run --stream 0.
+
+Campaign economics (VERDICT r4 weak #5/#8): rejects (cpu-fallback,
+degraded, not-streamed, timeouts) do NOT count against the clean-sample
+target; the campaign keeps sampling until n clean samples exist, up to
+--max-rejects rejected attempts or --max-wall seconds, and FAILS LOUDLY
+(under_sampled=true in the artifact, nonzero exit) when it can't.
 
 Usage: python scripts/pin_floor.py [-n 10] [-o floor_samples.json]
        [--bench-arg=--nscans --bench-arg=3]
@@ -28,6 +40,29 @@ import tempfile
 import time
 
 
+def classify_sample(rec, require_streamed=True):
+    """Return (clean, skip_cause).  skip_cause is None when clean.
+
+    A clean sample is an on-device, non-degraded measurement whose
+    headline value came from the streamed phase (unless the operating
+    point runs per-frame only, ``require_streamed=False``).
+    """
+    if not (isinstance(rec.get("value"), (int, float)) and rec["value"] > 0):
+        return False, rec.get("error", "no-value")[:40] or "no-value"
+    if "backend" in rec:
+        return False, "cpu-fallback"
+    if rec.get("degraded"):
+        return False, "degraded"
+    if require_streamed:
+        streamed = (str(rec.get("headline_phase", "")).startswith("stream")
+                    or ", stream" in rec.get("metric", ""))
+        if not streamed:
+            # pre-provenance bench versions lack the fields AND the
+            # label suffix — rejected the same way (can't prove phase)
+            return False, "not-streamed"
+    return True, None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=10)
@@ -36,18 +71,29 @@ def main():
                     help="per-run LT_BENCH_DEADLINE")
     ap.add_argument("--bench-arg", action="append", default=[],
                     help="extra args forwarded to bench.py (repeatable)")
+    ap.add_argument("--allow-pipelined", action="store_true",
+                    help="accept samples whose headline is the pipelined "
+                         "phase (ONLY for --stream 0 operating points)")
+    ap.add_argument("--max-rejects", type=int, default=None,
+                    help="rejected-attempt budget (default 3*n)")
+    ap.add_argument("--max-wall", type=float, default=7200.0,
+                    help="campaign wall-clock budget in seconds")
     args = ap.parse_args()
+    max_rejects = args.max_rejects if args.max_rejects is not None \
+        else 3 * args.n
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t_start = time.time()
     samples = []
     clean = 0
-    attempts = 0
-    # keep sampling until n CLEAN (non-degraded, on-device) measurements
-    # exist or 2n attempts are spent — sick-tunnel windows produce
-    # degraded / cpu-fallback JSON that must NOT enter the floor stats
-    while clean < args.n and attempts < 2 * args.n:
-        i = attempts
-        attempts += 1
+    rejects = 0
+    # keep sampling until n CLEAN (non-degraded, on-device, streamed)
+    # measurements exist — sick-tunnel windows produce degraded /
+    # cpu-fallback / streamed-skipped JSON that must NOT enter the
+    # floor stats and must NOT eat the clean-sample target either
+    while clean < args.n and rejects < max_rejects \
+            and time.time() - t_start < args.max_wall:
+        i = len(samples)
         cache = tempfile.mkdtemp(prefix=f"lt_floor_cache_{i}_")
         env = dict(os.environ)
         env["LT_JAX_CACHE"] = cache          # fresh local cache ->
@@ -79,20 +125,25 @@ def main():
         finally:
             shutil.rmtree(cache, ignore_errors=True)
         rec["wall_seconds"] = round(time.time() - t0, 1)
-        rec["clean"] = (isinstance(rec.get("value"), (int, float))
-                        and rec["value"] > 0
-                        and not rec.get("degraded")
-                        and "backend" not in rec)
+        rec["clean"], rec["skip_cause"] = classify_sample(
+            rec, require_streamed=not args.allow_pipelined)
         clean += bool(rec["clean"])
+        rejects += not rec["clean"]
         samples.append(rec)
-        print(f"run {i+1} (clean {clean}/{args.n}): "
-              f"value={rec.get('value')} clean={rec['clean']} "
+        print(f"run {i+1} (clean {clean}/{args.n}, rejects "
+              f"{rejects}/{max_rejects}): value={rec.get('value')} "
+              f"clean={rec['clean']} cause={rec['skip_cause']} "
               f"({rec['wall_seconds']}s)", flush=True)
 
     vals = sorted(s["value"] for s in samples if s["clean"])
+    under_sampled = len(vals) < args.n
     summary = {
         "n_requested": args.n,
         "n_measured": len(vals),
+        "under_sampled": under_sampled,
+        "n_rejected": rejects,
+        "reject_causes": sorted(s["skip_cause"] for s in samples
+                                if not s["clean"]),
         "min": vals[0] if vals else None,
         "median": (round((vals[(len(vals) - 1) // 2]
                           + vals[len(vals) // 2]) / 2, 2)
@@ -101,14 +152,21 @@ def main():
         "all_sorted": vals,
         "bench_args": args.bench_arg,
         "note": "each sample ran with a fresh local persistent-cache dir "
-                "(fresh remote-compiler lowering draw); --quick headline "
-                "= best of pipelined and streamed throughput",
+                "(fresh remote-compiler lowering draw); clean samples "
+                "are STREAMED-phase headlines only"
+                + (" [--allow-pipelined]" if args.allow_pipelined else ""),
         "samples": samples,
     }
     with open(args.o, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in
-                      ("n_measured", "min", "median", "max")}))
+                      ("n_measured", "under_sampled", "min", "median",
+                       "max")}))
+    if under_sampled:
+        print(f"UNDER-SAMPLED: {len(vals)}/{args.n} clean samples after "
+              f"{rejects} rejects / {time.time()-t_start:.0f}s wall",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
 
 
 if __name__ == "__main__":
