@@ -39,7 +39,18 @@ import zlib
 
 import numpy as np
 
-__all__ = ["export_html", "png_bytes", "reference_render", "DEFAULT_CAM"]
+from .utils.jscheck import check_js
+
+__all__ = ["export_html", "png_bytes", "reference_render", "DEFAULT_CAM",
+           "extract_script"]
+
+
+def extract_script(doc: str) -> str:
+    """The inline JS of an exported viewer page (exactly one block)."""
+    parts = doc.split("<script>")
+    if len(parts) != 2 or "</script>" not in parts[1]:
+        raise ValueError("expected exactly one <script> block")
+    return parts[1].split("</script>")[0]
 
 #: the JS viewer's initial turntable camera (keep in sync with
 #: ``viewer.cam`` in the template below)
@@ -137,6 +148,12 @@ def export_html(frames: list[tuple[str, dict]], out_path: str, *,
     doc = (_HTML_TEMPLATE
            .replace("__TITLE__", _js_json(title))
            .replace("__FRAMES__", _js_json(records)))
+    # machine-check the emitted script (no JS runtime exists in this
+    # image — VERDICT r4 #7): a template regression or a payload that
+    # breaks the lexical structure must fail HERE, not in the browser
+    check_js(extract_script(doc), required_idents=(
+        "viewer", "render", "refresh2d", "perspective", "lookAt",
+        "drawCloud", "buffersFor", "FRAMES", "TITLE"))
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     # explicit utf-8: the page declares charset=utf-8 and titles carry
     # non-ASCII (→, —); the locale default would crash or mojibake
