@@ -184,7 +184,15 @@ def _band_probe_jit(mesh: Mesh, origin: tuple, voxel_size: float,
     """Jitted shard_map body for ``sharded_band_probe``, cached per
     (mesh, volume geometry) so repeated calls — one per fused source per
     frame — replay a compiled program instead of re-tracing a fresh
-    closure each time."""
+    closure each time.
+
+    Cache-lifetime note (ADVICE r4): the lru_cache key holds the LIVE
+    ``Mesh`` object, pinning its device references and the compiled
+    executable for the process lifetime; maxsize=32 distinct
+    (mesh, geometry) pairs before silent eviction+recompile. Fine at
+    current usage (one mesh, a handful of geometries per run); if
+    per-frame geometry ever varies, key on ``(mesh.shape, axis names)``
+    instead of the Mesh instance."""
     from jax import shard_map
 
     from lidar_transfer_tpu.ops.splat import _band_samples

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -255,7 +256,12 @@ class TransferEngine:
         # linearly to rows — consecutive beams can land >1 row apart
         # (empty interleaved rows), and chords between strictly adjacent
         # rows would never find two valid endpoints there. Compute the
-        # occupied rows statically and bridge up to the max gap.
+        # occupied rows statically and bridge up to the max gap, CAPPED
+        # at 4 rows: each span level adds a full candidate set (device
+        # memory + splat cost scale linearly in vspan) and a >4-row gap
+        # means the target asks for >4x the source's local beam density
+        # — chord interpolation is no longer meaningful there. The cap
+        # is loud (warning below), not silent (ADVICE r4).
         self._interp_vspan = 1
         if self._interp_mv > 0 and sba is not None and len(sba) > 1:
             fu, fd = ((self.source.fov_up, self.source.fov_down)
@@ -266,7 +272,15 @@ class TransferEngine:
             occ = np.unique(np.clip(np.floor(v * self.source.H), 0,
                                     self.source.H - 1).astype(int))
             if len(occ) > 1:
-                self._interp_vspan = int(min(4, np.diff(occ).max()))
+                max_gap = int(np.diff(occ).max())
+                self._interp_vspan = min(4, max_gap)
+                if max_gap > 4:
+                    warnings.warn(
+                        f"source beam table leaves occupied-row gaps up "
+                        f"to {max_gap} rows but chord interpolation "
+                        f"bridges at most 4 — target rows inside wider "
+                        f"gaps will stay empty (raise source H or thin "
+                        f"the target density)", stacklevel=2)
 
     @property
     def _interp_active(self) -> bool:

@@ -336,6 +336,38 @@ def test_interp_bridges_snapped_beam_gaps(synthetic_dataset, small_spec):
     assert gained.any()
 
 
+def test_interp_vspan_cap_warns(small_spec):
+    """ADVICE r4: the 4-row chord-span cap must be LOUD — a beam table
+    whose occupied-row gaps exceed it warns instead of silently leaving
+    the wide gaps empty."""
+    import dataclasses
+    import warnings
+
+    # 16 beams crammed into the top/bottom 10% of the fov: the middle
+    # 80% of target rows is one huge occupied-row gap >> 4
+    span = small_spec.fov_up - small_spec.fov_down
+    lo = np.linspace(small_spec.fov_down, small_spec.fov_down + 0.1 * span, 8)
+    hi = np.linspace(small_spec.fov_up - 0.1 * span, small_spec.fov_up, 8)
+    src = dataclasses.replace(
+        small_spec,
+        beam_angles=np.radians(np.concatenate([lo, hi])).tolist())
+    up = SensorSpec(name="up32w", beams=small_spec.beams * 2,
+                    fov_up=small_spec.fov_up,
+                    fov_down=small_spec.fov_down,
+                    angle_res_hor=small_spec.angle_res_hor)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eng = TransferEngine(src, up, _cfg(), CAP, fixed_bounds=True)
+    assert eng._interp_vspan == 4
+    msgs = [str(w.message) for w in rec]
+    assert any("bridges at most 4" in m for m in msgs), msgs
+    # and a table within the cap stays silent
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        TransferEngine(small_spec, up, _cfg(), CAP, fixed_bounds=True)
+    assert not any("bridges at most" in str(w.message) for w in rec2)
+
+
 def test_upsample_4x(synthetic_dataset, small_spec, scene):
     """4x beam density (16 -> 64 beams, the VLP16 -> HDL64 shape): four
     chord interior samples per source-row gap (_interp_mv == 4 — source
