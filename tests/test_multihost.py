@@ -65,3 +65,45 @@ def test_multi_process_dryrun(synthetic_dataset, tmp_path, n_proc,
     assert res["hit"] > 0.05
     assert res["range0"].ndim == 3           # (frames_local, H, W)
     assert (res["range0"] > 0).any()
+
+
+def test_multihost_sharded_volume(synthetic_dataset, tmp_path):
+    """VERDICT r4 #6: multihost × sharded-volume COMPOSITION — 2
+    processes × 4 virtual devices, X-sharded fusion + sharded band-probe
+    synthesis across the joint (data=4, model=2) mesh spanning both
+    processes, asserted bit-identical to single-device by EVERY process
+    (the assertion lives in parallel.multihost.sharded_volume_parity)."""
+    port = _free_port()
+    out = str(tmp_path / "sv0.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_TRACEBACK_FILTERING"] = "off"
+
+    def launch(pid):
+        return subprocess.Popen(
+            [sys.executable, "-m", "lidar_transfer_tpu.parallel.multihost",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--devices-per-process", "4", "--sharded-volume",
+             "--dataset", synthetic_dataset, "--out", out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+
+    procs = [launch(i) for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log[-4000:]}"
+        assert f"process {pid}: SHARDED-VOLUME OK" in log
+        assert "bit-identical to single-device" in log
+    res = np.load(out)
+    assert res["hit"] > 0.0
+    assert res["n_shards"] == 8
