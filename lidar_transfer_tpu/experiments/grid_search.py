@@ -182,6 +182,13 @@ def grid_search(dataset: str, *, frames_list=(1, 2, 3),
                 vals = [r[key] for r in per_seq if key in r]
                 if vals:
                     cell[key] = float(np.mean(vals))
+                    if len(vals) > 1:
+                        # scene-variance columns (VERDICT r4 #3): the
+                        # analog of the reference's 11-sequence mean —
+                        # quality claims carry a spread, not a point
+                        cell[key + "_std"] = float(np.std(vals))
+                        cell[key + "_min"] = float(np.min(vals))
+                        cell[key + "_max"] = float(np.max(vals))
             cells.append(cell)
             if verbose:
                 msg = ", ".join(f"{k}={cell[k]:.4f}"
