@@ -39,6 +39,7 @@ native mesh oracle in tests/test_splat.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,47 @@ from lidar_transfer_tpu.ops import projection as P
 from lidar_transfer_tpu.ops.tsdf import TSDFState, VolumeSpec
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
+
+#: the largest row count at which the remote compiler's 2-D row gather
+#: reliably drew the fast (~1.8 ns/row) lowering in round-5 traces; at
+#: 262144 rows the SAME formulation drew ~11 ns/row inside the stream
+#: body (xplane, docs/PERF.md round 5)
+_GATHER_FAST_ROWS = 131072
+
+
+def _gather_split_for(npix: int) -> int:
+    """Row-gather chunk count for an npix-long index vector.
+
+    The remote compiler's (P, 8) row-gather lowering degrades ~6x per
+    row somewhere between 131k and 262k index rows (measured IN the
+    stream body: identity point 1.8 ns/row vs upsample point 11.0
+    ns/row, same formulation — xplane traces, round 5). Chunking the
+    INDEX vector to <=131072 rows per gather dodges it: the measured
+    same-tunnel-window fresh-cache A/B at the 128x2048 upsample point
+    is 150.5/153.0 scans/s split vs 122.7/123.8 unsplit (+24%, 40.1
+    Mrays/s at stream 128). Output is bit-identical.
+
+    LT_ASSEMBLE_GATHER_SPLIT overrides (1 = never split, k = force k
+    when divisible) for A/B re-probes — lowering regimes move between
+    rounds.
+    """
+    env = os.environ.get("LT_ASSEMBLE_GATHER_SPLIT")
+    if env is not None:
+        k = int(env)
+        return k if k > 1 and npix % k == 0 else 1
+    if npix <= _GATHER_FAST_ROWS:
+        return 1
+    k = -(-npix // _GATHER_FAST_ROWS)        # ceil
+    return k if npix % k == 0 else 1
+
+
+def _chunked_row_gather(table, idx, split: int):
+    """``table[idx]`` as ``split`` equal row-chunks (see above)."""
+    if split <= 1:
+        return table[idx]
+    c = idx.shape[0] // split
+    return jnp.concatenate(
+        [table[idx[i * c:(i + 1) * c]] for i in range(split)], axis=0)
 
 
 @functools.partial(
@@ -86,7 +128,7 @@ def _target_assemble(pos, tsdf_v, label_v, rem_v, valid,
          rem_v[:, None],
          label_v.astype(jnp.float32)[:, None]],
         axis=1)                                            # (N, 8)
-    wa = stacked[gidx]                                     # ONE row gather
+    wa = _chunked_row_gather(stacked, gidx, _gather_split_for(npix))
     pos_w = wa[:, 0:3].reshape(H, W, 3)
     depth_w = wa[:, 3].reshape(H, W)
     uf_w = wa[:, 4].reshape(H, W)

@@ -114,6 +114,27 @@ def g_col(w):
     return jnp.stack([rows[:, j][g] for j in range(8)], axis=1)
 
 
+def _g_split(w, k):
+    """Row-split the INDEX vector into k chunks, gather each, concat.
+
+    Round-5 xplane finding: the identity point's (131072,8) row gather
+    lowers at 1.8 ns/row while the upsample point's (262144,8) draws
+    11.0 ns/row — a SIZE-triggered regime. If the threshold sits
+    between 131k and 262k, k gathers of P/k rows each dodge it."""
+    g = jnp.where(w == IMAX, 0, w)
+    c = P // k
+    return jnp.concatenate([rows[g[i * c:(i + 1) * c]] for i in range(k)],
+                           axis=0)
+
+
+def g_split2(w):
+    return _g_split(w, 2)
+
+
+def g_split4(w):
+    return _g_split(w, 4)
+
+
 def timed(name, jfn, x0):
     out = jfn(x0)
     np.asarray(jnp.ravel(out)[:1])   # warm incl. sync-path compile
@@ -151,7 +172,8 @@ for name, fn in (("s_set", s_set_fn), ("s_uniq", s_uniq_fn)):
 # successive gathers depend on each other
 w0 = jnp.asarray(win_ref)
 for name, fn in (("g_row8", g_row8), ("g_row4", g_row4),
-                 ("g_col", g_col)):
+                 ("g_col", g_col), ("g_split2", g_split2),
+                 ("g_split4", g_split4)):
     def step(w, fn=fn):
         img = fn(w)
         # consume EVERY column: deriving bump from img[:, 0] alone let

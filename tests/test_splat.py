@@ -323,3 +323,39 @@ def test_fold_single_source_matches_image(synthetic_dataset, small_spec):
     both = np.asarray(a[4])
     np.testing.assert_allclose(np.asarray(a[0])[both],
                                np.asarray(b[0])[both], atol=1e-4)
+
+
+def test_chunked_row_gather_bit_identical_and_heuristic(monkeypatch):
+    """Round-5 assemble-gather split: chunking the index vector must be
+    bit-identical to the single gather, and the auto heuristic splits
+    only past the measured fast-lowering row bound (131072)."""
+    import os
+
+    import numpy as np
+
+    from lidar_transfer_tpu.ops.splat import (_GATHER_FAST_ROWS,
+                                              _chunked_row_gather,
+                                              _gather_split_for)
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((1000, 8)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 1000, size=512).astype(np.int32))
+    ref = np.asarray(table[idx])
+    for split in (1, 2, 4, 8):
+        np.testing.assert_array_equal(
+            np.asarray(_chunked_row_gather(table, idx, split)), ref)
+
+    monkeypatch.delenv("LT_ASSEMBLE_GATHER_SPLIT", raising=False)
+    assert _gather_split_for(65536) == 1
+    assert _gather_split_for(_GATHER_FAST_ROWS) == 1
+    assert _gather_split_for(262144) == 2            # the upsample point
+    assert _gather_split_for(4 * _GATHER_FAST_ROWS) == 4
+    # non-divisible counts fall back to the single gather
+    assert _gather_split_for(_GATHER_FAST_ROWS + 1) == 1
+    # env override: force / disable
+    monkeypatch.setenv("LT_ASSEMBLE_GATHER_SPLIT", "1")
+    assert _gather_split_for(262144) == 1
+    monkeypatch.setenv("LT_ASSEMBLE_GATHER_SPLIT", "4")
+    assert _gather_split_for(262144) == 4
+    monkeypatch.setenv("LT_ASSEMBLE_GATHER_SPLIT", "3")
+    assert _gather_split_for(262144) == 1            # 262144 % 3 != 0
