@@ -132,3 +132,29 @@ def test_template_has_single_script_block():
     # extract_script rejects malformed docs
     with pytest.raises(ValueError):
         webviewer.extract_script("<html>no script</html>")
+
+
+def test_lexer_total_on_random_input():
+    """Robustness: on arbitrary garbage the lexer must either tokenize
+    or raise JsSyntaxError — never hang, loop, or raise anything else
+    (it runs inside export_html's production path)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abz019 \n\t(){}[]'\"`$/\\*+-=<>!&|?:;,.#~^%"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 120)))
+        try:
+            tokenize_js(s)
+        except JsSyntaxError:
+            pass
+
+
+def test_lexer_progress_on_pathological_nesting():
+    # deep template/expression nesting must terminate and balance
+    src = "const x = " + "`${" * 50 + "1" + "}`" * 50 + ";"
+    toks = tokenize_js(src)
+    assert any(k == "number" for k, *_ in toks)
+    with pytest.raises(JsSyntaxError):
+        tokenize_js("const x = " + "`${" * 50 + "1" + "}`" * 49)
