@@ -458,6 +458,11 @@ def main(argv=None) -> int:
                          "shape; darknet21 default; tiny = smoke).")
     pt.add_argument("--tiny", action="store_true",
                     help="Alias for --arch tiny (tests/smoke).")
+    pt.add_argument("--remat", action="store_true",
+                    help="Rematerialize encoder blocks in the backward "
+                         "(less activation HBM traffic, more recompute; "
+                         "checkpoint-compatible either way — "
+                         "scripts/probe_train_remat.py for the A/B).")
     pt.add_argument("--out", default="seg_model.pkl")
     pt.add_argument("--save-every", type=int, default=0,
                     help="Checkpoint --out every N steps (resumable).")
@@ -498,6 +503,8 @@ def main(argv=None) -> int:
         mapper = LabelMapper.from_labels(dict(TransferConfig().labels))
         model_cfg = getattr(RangeNetConfig, arch)(
             num_classes=mapper.num_classes)
+        if args.remat:
+            model_cfg = dataclasses.replace(model_cfg, remat=True)
         model, params, mapper, spec = train_segmentation(
             args.dataset, sequences=tuple(args.sequences),
             steps=args.steps, batch_size=args.batch_size,

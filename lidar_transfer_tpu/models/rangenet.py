@@ -44,6 +44,13 @@ class RangeNetConfig:
     stem_features: int = 32
     compute_dtype: Any = jnp.bfloat16
     input_channels: int = 5
+    # Rematerialize encoder residual blocks in the backward pass
+    # (jax.checkpoint via nn.remat): trades MXU recompute FLOPs for
+    # saved-activation HBM traffic. The train step sits AT the memory
+    # roofline (docs/PERF.md round 5: AI ~40 flops/byte vs the ~240
+    # v5e ridge), so this is the direction with headroom; measured
+    # on-chip before flipping any default (scripts/probe_train_remat.py).
+    remat: bool = False
 
     @classmethod
     def darknet53(cls, num_classes: int = 34) -> "RangeNetConfig":
@@ -107,6 +114,12 @@ class RangeNet(nn.Module):
         h = nn.GroupNorm(num_groups=None, group_size=16, dtype=dt)(h)
         h = nn.leaky_relu(h, 0.1)
 
+        # nn.remat would rename blocks to CheckpointResBlock_N, breaking
+        # checkpoint compatibility across the remat flag — pin explicit
+        # names matching the non-remat auto-naming so the param tree is
+        # identical either way (a checkpoint loads under both).
+        block_cls = nn.remat(ResBlock) if c.remat else ResBlock
+        blk_i = 0
         skips = []
         for blocks, feats in zip(c.stage_blocks, c.stage_features):
             skips.append(h)
@@ -116,7 +129,8 @@ class RangeNet(nn.Module):
             h = nn.GroupNorm(num_groups=None, group_size=16, dtype=dt)(h)
             h = nn.leaky_relu(h, 0.1)
             for _ in range(blocks):
-                h = ResBlock(feats, dt)(h)
+                h = block_cls(feats, dt, name=f"ResBlock_{blk_i}")(h)
+                blk_i += 1
 
         for skip in reversed(skips):
             feats = skip.shape[-1]

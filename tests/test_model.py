@@ -118,3 +118,43 @@ def test_rangenet_arbitrary_widths():
         params = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(params, x)
         assert out.shape == (1, 8, W, 5)
+
+
+def test_remat_flag_is_checkpoint_compatible():
+    """cfg.remat must not change the param tree (nn.remat auto-names
+    blocks CheckpointResBlock_N — we pin explicit ResBlock_N names so a
+    checkpoint trained either way loads under both), nor the numerics
+    of forward or gradients (remat recomputes the SAME ops)."""
+    import dataclasses
+
+    cfg = RangeNetConfig.tiny(num_classes=6)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 8, 32, cfg.input_channels)).astype(np.float32))
+    p0 = RangeNet(cfg).init(jax.random.PRNGKey(0), x)
+    p1 = RangeNet(cfg_r).init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # blocks actually exist under the pinned names
+    assert any("ResBlock_0" in "/".join(map(str, k)) for k, _ in
+               jax.tree_util.tree_flatten_with_path(p0)[0])
+
+    y0 = RangeNet(cfg).apply(p0, x)
+    y1 = RangeNet(cfg_r).apply(p0, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    labels = jnp.zeros((1, 8, 32), jnp.int32)
+    weights = jnp.ones((1, 8, 32), jnp.float32)
+
+    def loss_of(model):
+        def f(p):
+            logits = model.apply(p, x)
+            return masked_cross_entropy(logits, labels, weights)
+        return jax.grad(f)(p0)
+
+    g0, g1 = loss_of(RangeNet(cfg)), loss_of(RangeNet(cfg_r))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
