@@ -70,7 +70,11 @@ def _gather_split_for(npix: int) -> int:
 
     LT_ASSEMBLE_GATHER_SPLIT overrides (1 = never split, k = force k
     when divisible) for A/B re-probes — lowering regimes move between
-    rounds.
+    rounds. PROCESS-SCOPED: the value is read at trace time and baked
+    into every compiled program, and it is NOT part of any jit cache
+    key — toggling it after a shape has traced silently reuses the old
+    program. Set it before the first trace; A/B runs must use separate
+    processes (the fresh-compile-cache campaigns do).
     """
     env = os.environ.get("LT_ASSEMBLE_GATHER_SPLIT")
     if env is not None:

@@ -241,7 +241,10 @@ def _dryrun_main(argv=None) -> int:
     p.add_argument("--num-processes", type=int, required=True)
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--devices-per-process", type=int, default=4)
-    p.add_argument("--dataset", required=True)
+    p.add_argument("--dataset", default=None,
+                   help="KITTI-layout tree (required unless "
+                        "--sharded-volume, which generates its own "
+                        "synthetic inputs)")
     p.add_argument("--out", default=None,
                    help="process 0 writes assembled outputs here (.npz)")
     p.add_argument("--sharded-volume", action="store_true",
@@ -251,6 +254,8 @@ def _dryrun_main(argv=None) -> int:
                         "(data, model=2) mesh spanning all hosts, "
                         "asserted bit-identical to single-device")
     args = p.parse_args(argv)
+    if not args.sharded_volume and args.dataset is None:
+        p.error("--dataset is required for the frame-parallel dryrun")
 
     jax = initialize(args.coordinator, args.num_processes, args.process_id,
                      cpu_devices_per_process=args.devices_per_process)

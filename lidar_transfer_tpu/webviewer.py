@@ -32,6 +32,7 @@ source of display truth shared with the vispy shell.
 from __future__ import annotations
 
 import base64
+import functools
 import json
 import os
 import struct
@@ -121,10 +122,33 @@ def _frame_record(payload: dict, name: str, max_points: int) -> dict:
 
 
 def _js_json(obj) -> str:
-    """JSON for embedding in an inline <script>: a literal ``</script>``
-    inside any string would close the tag mid-payload, so escape ``</``
-    (``<\\/`` is a valid JSON escape and identical to JS)."""
-    return json.dumps(obj, separators=(",", ":")).replace("</", "<\\/")
+    """JSON for embedding in an inline <script>: escape EVERY ``<`` as
+    ``\\u003c`` (a valid JSON escape, identical value in JS) so no
+    string in the payload can form ``</script>`` (which would close the
+    tag mid-payload) or ``<script>`` (which would break the
+    exactly-one-block contract of :func:`extract_script`). With every
+    ``<`` escaped, the substituted payload is lexically inert by
+    construction — it is one JSON expression with no markup-significant
+    characters."""
+    return json.dumps(obj, separators=(",", ":")).replace("<", "\\u003c")
+
+
+@functools.lru_cache(maxsize=4)
+def _check_template(template: str) -> None:
+    """Lex the viewer template (stub payload) + assert golden idents.
+
+    Cached BY TEMPLATE CONTENT: the template is a module constant, so
+    one check per process covers every export (and a patched template —
+    tests — is re-checked).
+    """
+    stub = (template
+            .replace("__TITLE__", _js_json("t"))
+            .replace("__FRAMES__", _js_json(
+                [{"name": "f", "title": "", "rows": [],
+                  "src": None, "virt": None}])))
+    check_js(extract_script(stub), required_idents=(
+        "viewer", "render", "refresh2d", "perspective", "lookAt",
+        "drawCloud", "buffersFor", "FRAMES", "TITLE"))
 
 
 def export_html(frames: list[tuple[str, dict]], out_path: str, *,
@@ -149,11 +173,14 @@ def export_html(frames: list[tuple[str, dict]], out_path: str, *,
            .replace("__TITLE__", _js_json(title))
            .replace("__FRAMES__", _js_json(records)))
     # machine-check the emitted script (no JS runtime exists in this
-    # image — VERDICT r4 #7): a template regression or a payload that
-    # breaks the lexical structure must fail HERE, not in the browser
-    check_js(extract_script(doc), required_idents=(
-        "viewer", "render", "refresh2d", "perspective", "lookAt",
-        "drawCloud", "buffersFor", "FRAMES", "TITLE"))
+    # image — VERDICT r4 #7): a template regression must fail HERE, not
+    # in the browser. The lexer runs on a stub-substituted template —
+    # _js_json escapes every '<', so the real payload is lexically inert
+    # by construction, and lexing the multi-MB embedded clouds
+    # char-by-char in pure Python would only re-prove that (seconds per
+    # frame on this 1-core VM at the 300k-point cap)
+    _check_template(_HTML_TEMPLATE)
+    extract_script(doc)       # exactly-one-<script>-block guard (cheap)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     # explicit utf-8: the page declares charset=utf-8 and titles carry
     # non-ASCII (→, —); the locale default would crash or mojibake

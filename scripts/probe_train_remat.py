@@ -33,12 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_BF16_FLOPS = 197e12
-PEAK_HBM_GBPS = 819.0
-
-
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+# chip constants + measurement recipe shared with the roofline harness
+# (one place to fix if the CLAUDE.md sync rules or chip constants change)
+from scripts.roofline import (PEAK_BF16_FLOPS, PEAK_HBM_GBPS,  # noqa: E402
+                              _sync, log)
 
 
 def main():
@@ -75,8 +73,7 @@ def main():
     log(f"transfer warmup {time.time()-t0:.1f}s")
 
     def sync(x):
-        jax.block_until_ready(x)
-        np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+        _sync(jax, np, x)
 
     h, w = (16, 64) if args.tiny else (64, 2048)
     variants = args.variants.split(",")
@@ -86,8 +83,10 @@ def main():
             remat = "remat" in variant or variant == "all3"
             donate = "donate" in variant or variant == "all3"
             mu_bf16 = variant in ("mu_bf16", "all3")
-            cfg = getattr(RangeNetConfig, arch)(num_classes=34)
-            cfg = type(cfg)(**{**cfg.__dict__, "remat": remat})
+            import dataclasses
+            cfg = dataclasses.replace(
+                getattr(RangeNetConfig, arch)(num_classes=34),
+                remat=remat)
             model = RangeNet(cfg)
             params, opt_state, tx = make_train_state(
                 model, jax.random.PRNGKey(0),

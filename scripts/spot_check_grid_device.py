@@ -97,6 +97,10 @@ def main():
             json.dump({"ref_artifact": args.ref,
                        "backend": str(jax.devices()[0]),
                        "cells": rows}, f, indent=2)
+    if not rows:
+        print("no requested cell matched the reference artifact "
+              "(check --cells against the grid's axes)", file=sys.stderr)
+        sys.exit(2)
     print(json.dumps({"max_iou_diff": max(r["abs_diff"]["iou"]
                                           for r in rows),
                       "max_acc_diff": max(r["abs_diff"]["acc"]

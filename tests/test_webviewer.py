@@ -220,6 +220,20 @@ def test_export_html_script_safe_title(tmp_path, synthetic_dataset,
     assert frames[0]["name"] == "f"
 
 
+def test_export_html_script_open_tag_in_title(tmp_path, synthetic_dataset,
+                                              small_spec):
+    """A literal ``<script>`` in a title/name must not crash the export
+    (extract_script's exactly-one-block split) nor break the page."""
+    _, pay = _payload(synthetic_dataset, small_spec, with_virtual=False)
+    out = export_html([("a <script> b", pay)], str(tmp_path / "v.html"),
+                      title="open <script> tag")
+    doc, frames = _frames_json(out)
+    assert doc.count("<script>") == 1    # only the real opening tag
+    assert frames[0]["name"] == "a <script> b"
+    m = re.search(r"^const TITLE = (.*);$", doc, re.M)
+    assert json.loads(m.group(1)) == "open <script> tag"
+
+
 def test_transfer_cli_html(tmp_path, synthetic_dataset):
     """lt-transfer --html: source vs TRANSFERRED virtual scan viewer."""
     from lidar_transfer_tpu import cli
