@@ -26,6 +26,10 @@ Usage: python scripts/run_upsample_workflow.py [--steps 300] [--cpu]
        (2x, 32->64). The 4x VLP16->HDL64 shape:
        python scripts/run_upsample_workflow.py --src-beams 16 \
            --tgt-beams 64 --out experiments_artifacts/workflow_upsample4x_r04
+       Multi-scene statistics (mean +- std over seeded urban worlds,
+       the analog of the reference's 11-sequence mean):
+       python scripts/run_upsample_workflow.py --urban-scenes 3 \
+           --out experiments_artifacts/workflow_upsample_multiscene_r05
 """
 
 import argparse
@@ -54,6 +58,13 @@ def main():
                     "a train/eval range mismatch shifts GroupNorm "
                     "statistics globally (measured: +-16 bounds on an "
                     "80 m scene -> 0.46 eval acc vs 0.99 baseline)")
+    ap.add_argument("--urban-scenes", type=int, default=0,
+                    help="when N>0, run the whole workflow once per "
+                    "seeded synthetic.Scene.urban(i) world (i<N) and "
+                    "aggregate each row as mean +- std over scenes "
+                    "(the multi-scene analog of the reference's "
+                    "11-sequence mean); 0 keeps the classic single "
+                    "Scene.default() run")
     ap.add_argument("--work", default="/tmp/wf_upsample")
     ap.add_argument("--out", default="experiments_artifacts/"
                                      "workflow_upsample_r03")
@@ -81,49 +92,84 @@ def main():
                         fov_up=5.0, fov_down=-24.0, angle_res_hor=res_hor)
     spec64 = SensorSpec(name=f"syn{args.tgt_beams}", beams=args.tgt_beams,
                         fov_up=5.0, fov_down=-24.0, angle_res_hor=res_hor)
-    scene = synthetic.Scene.default()
-
-    os.makedirs(args.work, exist_ok=True)
-    ds32 = os.path.join(args.work, f"real{args.src_beams}")
-    ds64 = os.path.join(args.work, f"real{args.tgt_beams}")
-    synthetic.write_kitti_dataset(ds32, scene, spec32,
-                                  n_scans=args.frames, step=1.0)
-    synthetic.write_kitti_dataset(ds64, scene, spec64,
-                                  n_scans=args.frames, step=1.0)
-    tgt_yaml = os.path.join(args.work, f"target{args.tgt_beams}.yaml")
-    with open(tgt_yaml, "w") as f:
-        yaml.safe_dump(spec64.to_dict(), f)
 
     b = args.bounds
     cfg = TransferConfig(
         adaption="mergemesh", number_of_scans=1, voxel_size=0.1,
         voxel_bounds=((-b, b), (-b, b), (-4.0, 4.0)))
+    s, t = args.src_beams, args.tgt_beams
 
-    fake = generate_fake_dataset(
-        ds32, os.path.join(args.work, f"fake{args.tgt_beams}"),
-        cfg, target_yaml=tgt_yaml)
+    def one_scene(scene, work):
+        """All three rows (train+eval) on one world; returns {name: row}."""
+        os.makedirs(work, exist_ok=True)
+        ds32 = os.path.join(work, f"real{s}")
+        ds64 = os.path.join(work, f"real{t}")
+        synthetic.write_kitti_dataset(ds32, scene, spec32,
+                                      n_scans=args.frames, step=1.0)
+        synthetic.write_kitti_dataset(ds64, scene, spec64,
+                                      n_scans=args.frames, step=1.0)
+        tgt_yaml = os.path.join(work, f"target{t}.yaml")
+        with open(tgt_yaml, "w") as f:
+            yaml.safe_dump(spec64.to_dict(), f)
+        fake = generate_fake_dataset(
+            ds32, os.path.join(work, f"fake{t}"), cfg,
+            target_yaml=tgt_yaml)
+        rows = {}
+        for name, train_ds, eval_ds in (
+                (f"fake{t}_on_real{t}", fake, ds64),
+                (f"real{s}_on_real{t}", ds32, ds64),
+                (f"real{t}_on_fake{t}", ds64, fake)):
+            model, params, mapper, spec = train_segmentation(
+                train_ds, steps=args.steps, batch_size=args.batch_size,
+                cfg=cfg)
+            pred = os.path.join(work, f"pred_{name}")
+            write_predictions(eval_ds, pred, model, params, mapper, spec,
+                              cfg=cfg)
+            r = evaluate_semantics(eval_ds, pred, cfg=cfg)
+            r.update(kind=name, train_dataset=train_ds,
+                     eval_dataset=eval_ds, steps=args.steps,
+                     bounds=args.bounds)
+            rows[name] = r
+            print(f"{name}: miou_present {r['miou_present']:.4f} "
+                  f"acc {r['acc']:.4f}", flush=True)
+        return rows
 
     os.makedirs(args.out, exist_ok=True)
-    s, t = args.src_beams, args.tgt_beams
-    rows = {}
-    for name, train_ds, eval_ds in (
-            (f"fake{t}_on_real{t}", fake, ds64),
-            (f"real{s}_on_real{t}", ds32, ds64),
-            (f"real{t}_on_fake{t}", ds64, fake)):
-        model, params, mapper, spec = train_segmentation(
-            train_ds, steps=args.steps, batch_size=args.batch_size,
-            cfg=cfg)
-        pred = os.path.join(args.work, f"pred_{name}")
-        write_predictions(eval_ds, pred, model, params, mapper, spec,
-                          cfg=cfg)
-        r = evaluate_semantics(eval_ds, pred, cfg=cfg)
-        r.update(kind=name, train_dataset=train_ds, eval_dataset=eval_ds,
-                 steps=args.steps, bounds=args.bounds)
-        rows[name] = r
+    if args.urban_scenes:
+        import numpy as np
+        per_scene = []
+        for i in range(args.urban_scenes):
+            print(f"=== urban scene seed {i} ===", flush=True)
+            rows = one_scene(synthetic.Scene.urban(i),
+                             os.path.join(args.work, f"s{i}"))
+            for r in rows.values():
+                r.update(scene_seed=i)
+            per_scene.append(rows)
+        for name in per_scene[0]:
+            agg = {"row": name, "scenes": args.urban_scenes,
+                   "steps": args.steps, "bounds": b, "width": args.width,
+                   "src_beams": s, "tgt_beams": t,
+                   "world": "synthetic.Scene.urban (>=12 classes, movers)",
+                   "per_scene": [sc[name] for sc in per_scene]}
+            for key in ("miou", "miou_present", "acc"):
+                vals = [sc[name][key] for sc in per_scene
+                        if key in sc[name]]
+                if vals:
+                    agg[key] = float(np.mean(vals))
+                    agg[key + "_std"] = float(np.std(vals))
+                    agg[key + "_min"] = float(np.min(vals))
+                    agg[key + "_max"] = float(np.max(vals))
+            with open(os.path.join(args.out, f"{name}.json"), "w") as f:
+                json.dump(agg, f, indent=2)
+            print(f"{name}: miou_present {agg['miou_present']:.4f} "
+                  f"± {agg['miou_present_std']:.4f}  acc {agg['acc']:.4f}"
+                  f" ± {agg['acc_std']:.4f}", flush=True)
+        return 0
+
+    rows = one_scene(synthetic.Scene.default(), args.work)
+    for name, r in rows.items():
         with open(os.path.join(args.out, f"{name}.json"), "w") as f:
             json.dump(r, f, indent=2)
-        print(f"{name}: miou_present {r['miou_present']:.4f} "
-              f"acc {r['acc']:.4f}")
     return 0
 
 
