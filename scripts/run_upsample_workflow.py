@@ -77,6 +77,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from lidar_transfer_tpu.utils import setup_compile_cache
     setup_compile_cache()
+    import jax
 
     import yaml
 
@@ -147,7 +148,8 @@ def main():
             per_scene.append(rows)
         for name in per_scene[0]:
             agg = {"row": name, "scenes": args.urban_scenes,
-                   "steps": args.steps, "bounds": b, "width": args.width,
+                   "steps": args.steps, "backend": jax.default_backend(),
+                   "bounds": b, "width": args.width,
                    "src_beams": s, "tgt_beams": t,
                    "world": "synthetic.Scene.urban (>=12 classes, movers)",
                    "per_scene": [sc[name] for sc in per_scene]}

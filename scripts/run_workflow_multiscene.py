@@ -58,6 +58,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from lidar_transfer_tpu.utils import setup_compile_cache
     setup_compile_cache()
+    import jax
 
     from lidar_transfer_tpu.config import SensorSpec, TransferConfig
     from lidar_transfer_tpu.datasets import synthetic
@@ -103,6 +104,7 @@ def main():
                "target": os.path.basename(target_yaml) if target_yaml
                else None,
                "scenes": args.scenes, "steps": args.steps,
+               "backend": jax.default_backend(),
                "bounds": b, "width": args.width,
                "world": "synthetic.Scene.urban (>=12 classes, movers)",
                "per_scene": per_scene}
